@@ -1,0 +1,115 @@
+"""Sessionization: assign every turn to a "match" within its conversation.
+
+Port of the *semantics* of the ``compose()`` match-delimiter state machine
+(bll/src/summary_logic.rs:74-139), re-derived as window expressions so the
+whole stage is one shuffle by ``conv_id`` + one sorted window pass:
+
+The reference folds two booleans over the stream:
+  * ``InitGame`` while not in-game  -> match starts (``NewGame``)
+  * ``InitGame`` while in-game      -> ``DoubleInit`` violation, match
+                                        CONTINUES (state unchanged!)
+  * ``Exit`` while in-game          -> sets the graceful flag, swallowed
+  * ``ShutdownGame`` while in-game  -> match ends (graceful/manual)
+  * ``Exit``/``ShutdownGame`` while not in-game -> ``GameNotStarted``
+
+Because redundant delimiters never change state, ``in_game`` after any
+prefix equals "the most recent InitGame/ShutdownGame event was an
+InitGame" (inductive proof: from either state, InitGame always lands on
+in_game=true and ShutdownGame on false).  That makes the whole state
+machine expressible as ``last(marker) IGNORE NULLS`` over
+``Window.partitionBy(conv_id).orderBy(turn_idx)`` — no running UDF, no
+per-row Python, and a NAIVE running-sum-of-InitGame would be WRONG
+(it would split a match at a DoubleInit, which the reference does not).
+
+Scale notes: this is the pipeline's one unavoidable shuffle; bucketing
+the source table by ``conv_id`` (see sources/) makes it shuffle-free, and
+hot conversations are bounded by per-conv state of O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# violation labels (bll/src/dtos/logic_events.rs:90-108)
+V_DOUBLE_INIT = "DoubleInit"
+V_GAME_NOT_STARTED = "GameNotStarted"
+
+
+def sessionize(df: DataFrame) -> DataFrame:
+    """Add match columns to a parsed (or translated) event DataFrame.
+
+    Added columns:
+      * ``in_game``          — state *after* processing this row
+      * ``match_id``         — 1-based per-conv match counter (0 = before
+                               any match); a row belongs to match m iff
+                               ``match_id = m AND (in_game OR is_shutdown)``
+      * ``is_match_start``   — effective InitGame
+      * ``is_match_end``     — effective ShutdownGame
+      * ``violation``        — DoubleInit / GameNotStarted, else null
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    et = F.col("event_type")
+    marker = F.when(et.isin("InitGame", "ShutdownGame"), et)
+    in_game_before = F.coalesce(
+        F.last(marker, ignorenulls=True).over(w_excl) == "InitGame", F.lit(False)
+    )
+
+    is_start = (et == "InitGame") & ~in_game_before
+    is_end = (et == "ShutdownGame") & in_game_before
+
+    df = df.withColumns(
+        {
+            "_in_game_before": in_game_before,
+            "is_match_start": F.coalesce(is_start, F.lit(False)),
+            "is_match_end": F.coalesce(is_end, F.lit(False)),
+        }
+    )
+    df = df.withColumns(
+        {
+            "match_id": F.sum(F.col("is_match_start").cast("int"))
+            .over(w_incl)
+            .cast("int"),
+            "in_game": F.coalesce(
+                F.last(marker, ignorenulls=True).over(w_incl) == "InitGame",
+                F.lit(False),
+            ),
+            "violation": F.when(
+                (et == "InitGame") & F.col("_in_game_before"), F.lit(V_DOUBLE_INIT)
+            ).when(
+                et.isin("Exit", "ShutdownGame") & ~F.col("_in_game_before"),
+                F.lit(V_GAME_NOT_STARTED),
+            ),
+        }
+    ).drop("_in_game_before")
+    return df
+
+
+def match_control(sessionized: DataFrame) -> DataFrame:
+    """One row per (conv_id, match_id): completion + graceful flags.
+
+    ``completed`` — the match saw an effective ShutdownGame; matches without
+    one emit NO summary (summary_logic.rs:397-403, the dangling accumulator
+    is dropped).  ``graceful`` — an ``Exit`` was seen while in-game
+    (summary_logic.rs:105-112), i.e. GameEndedGracefully vs Manually.
+    """
+    return (
+        sessionized.filter(F.col("match_id") > 0)
+        .filter(F.col("in_game") | F.col("is_match_end"))
+        .groupBy("conv_id", "match_id")
+        .agg(
+            F.max(F.col("is_match_end")).alias("completed"),
+            F.max((F.col("event_type") == "Exit") & F.col("in_game")).alias(
+                "graceful"
+            ),
+            F.min(F.when(F.col("is_match_start"), F.col("turn_idx"))).alias(
+                "start_turn_idx"
+            ),
+            F.max(F.when(F.col("is_match_end"), F.col("turn_idx"))).alias(
+                "end_turn_idx"
+            ),
+        )
+    )

@@ -1,0 +1,411 @@
+"""Per-match summaries — the ``summarize()`` aggregation of the reference
+(bll/src/summary_logic.rs:314-415) plus its composable logic operators
+``kills()`` (:177-203), ``means_of_death()`` (:144-170),
+``game_reported_scores()`` (:290-310) and
+``player_ids_and_nicknames_resolutions()`` (:210-287).
+
+Two execution paths, selected by the requested operator set (mirroring the
+reference's config-driven pipeline menu, summary_logic.rs:44-60):
+
+* ``summarize_kills_only`` — the reference's default CLI config (Kills op
+  only, app/src/main.rs:86-97).  Pure DataFrame expressions: a two-level
+  hash aggregate (partial map-side combine for free) grouped by
+  ``(conv_id, match_id[, player])``.  This is the 100 TB fast path: no
+  Python, no per-row state, one extra shuffle after sessionize.
+
+* ``summarize_extended`` — the ``--extended`` 4-op pipeline.  The id->nick
+  registry with rename/disconnect/reconnect replay (:210-287) is genuinely
+  order-dependent, so it runs as ONE grouped-map ``applyInPandas`` fold per
+  ``conv_id`` (the shuffle key sessionize already used).  Per-conv state is
+  O(players); conversations are independent, so this parallelizes
+  perfectly across executors.
+
+Output ordering parity: the reference renders BTreeMap/BTreeSet, i.e.
+lexicographic key order — reproduced with ``array_sort`` over
+``(name, value)`` structs (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import MATCH_SUMMARY_SCHEMA, WORLD
+from .sessionize import match_control, sessionize
+
+# ---------------------------------------------------------------------------
+# vectorized kills-only path
+# ---------------------------------------------------------------------------
+
+
+def frag_attribution(kills: DataFrame) -> DataFrame:
+    """The ``kills()`` frag rules (summary_logic.rs:190-196) as projections:
+    killer gets +1 unless the killer is ``<world>``, then the victim gets -1.
+    Self-kills (killer == victim != world) are +1 for the killer."""
+    is_world = F.col("killer_name") == WORLD
+    return kills.withColumns(
+        {
+            "frag_name": F.when(is_world, F.col("victim_name")).otherwise(
+                F.col("killer_name")
+            ),
+            "frag_client_id": F.when(is_world, F.col("victim_id")).otherwise(
+                F.col("killer_id")
+            ),
+            "frag_delta": F.when(is_world, F.lit(-1)).otherwise(F.lit(1)),
+        }
+    )
+
+
+def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
+    """Summaries under the Kills-only config (basic CLI default).
+
+    Matches the reference exactly for streams without client events:
+    ``total_kills`` counts every Kill (world kills included,
+    summary_logic.rs:372/:382), ``players`` is the set of frag-event names,
+    ``kills`` the signed per-name sum — and only matches that saw an
+    effective ShutdownGame emit a row (:397-403).
+    """
+    kills = sessionized.filter(
+        (F.col("event_type") == "Kill")
+        & F.col("in_game")
+        & (F.col("match_id") > 0)
+    )
+    per_name = (
+        frag_attribution(kills)
+        .groupBy("conv_id", "match_id", "frag_name")
+        .agg(
+            F.sum("frag_delta").cast("long").alias("frags"),
+            F.count(F.lit(1)).alias("n_kills"),
+        )
+    )
+    per_match = per_name.groupBy("conv_id", "match_id").agg(
+        F.sum("n_kills").alias("total_kills"),
+        F.array_sort(F.collect_list("frag_name")).alias("players"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("frag_name").alias("player"), "frags"))
+        ).alias("kills"),
+    )
+    control = match_control(sessionized).filter(F.col("completed"))
+    out = control.join(per_match, ["conv_id", "match_id"], "left")
+    empty_kills = F.lit([]).cast(MATCH_SUMMARY_SCHEMA["kills"].dataType)
+    empty_players = F.lit([]).cast("array<string>")
+    return out.select(
+        "conv_id",
+        "match_id",
+        F.coalesce("total_kills", F.lit(0)).alias("total_kills"),
+        F.coalesce("players", empty_players).alias("players"),
+        F.coalesce("kills", empty_kills).alias("kills"),
+        F.lit(None).cast(MATCH_SUMMARY_SCHEMA["kills_by_means"].dataType).alias(
+            "kills_by_means"
+        ),
+        F.lit(None)
+        .cast(MATCH_SUMMARY_SCHEMA["game_reported_scores"].dataType)
+        .alias("game_reported_scores"),
+        F.lit(None)
+        .cast(MATCH_SUMMARY_SCHEMA["disconnected_players"].dataType)
+        .alias("disconnected_players"),
+        "graceful",
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def means_of_death_hist(sessionized: DataFrame) -> DataFrame:
+    """Per-match death-cause histogram (summary_logic.rs:144-170, :362-368).
+    Order-insensitive, so it never needs the replay fold."""
+    return (
+        sessionized.filter(
+            (F.col("event_type") == "Kill")
+            & F.col("in_game")
+            & (F.col("match_id") > 0)
+        )
+        .groupBy("conv_id", "match_id", "reason_name")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .groupBy("conv_id", "match_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("reason_name").alias("mean"), "count"))
+            ).alias("kills_by_means")
+        )
+    )
+
+
+def reported_scores(sessionized: DataFrame) -> DataFrame:
+    """Per-match game-reported scores: last Score per name wins
+    (BTreeMap upsert, summary_logic.rs:390-395)."""
+    return (
+        sessionized.filter(
+            (F.col("event_type") == "Score")
+            & F.col("in_game")
+            & (F.col("match_id") > 0)
+        )
+        .groupBy("conv_id", "match_id", "name")
+        .agg(F.max_by("frags", "turn_idx").alias("frags"))
+        .groupBy("conv_id", "match_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("name").alias("player"), "frags"))
+            ).alias("game_reported_scores")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact extended fold (applyInPandas per conv)
+# ---------------------------------------------------------------------------
+
+FOLD_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "event_type",
+    "client_id",
+    "name",
+    "killer_id",
+    "victim_id",
+    "killer_name",
+    "victim_name",
+    "reason_name",
+    "frags",
+]
+
+
+def _replay_conv(
+    pdf: pd.DataFrame,
+    ops: frozenset[str],
+    stop_on_violations: bool,
+) -> pd.DataFrame:
+    """Exact replay of compose+ops+summarize for ONE conversation.
+
+    State per the reference: two composer booleans (summary_logic.rs:88-89),
+    the id->nick registry (:215, cleared on NewGame :244-247), and the
+    per-match accumulator (:316).  Emits one row per completed match plus
+    one error row per event-model violation (:405-406).
+    """
+    conv_id = pdf["conv_id"].iloc[0]
+    pdf = pdf.sort_values("turn_idx")
+
+    means_on = "means_of_death" in ops
+    players_on = "player_resolutions" in ops
+    scores_on = "reported_scores" in ops
+
+    in_game = False
+    graceful = False
+    registry: dict[int, str | None] = {}
+    cur: dict | None = None
+    match_seq = 0
+    out_rows: list[dict] = []
+
+    def emit_error(turn_idx, msg):
+        out_rows.append(
+            {
+                "conv_id": conv_id,
+                "match_id": match_seq,
+                "total_kills": None,
+                "players": None,
+                "kills": None,
+                "kills_by_means": None,
+                "game_reported_scores": None,
+                "disconnected_players": None,
+                "graceful": None,
+                "error": f"Event #{turn_idx}: {msg}",
+            }
+        )
+
+    def emit_violation(turn_idx, violation):
+        # summary_logic.rs:405-406
+        emit_error(turn_idx, f"violated the event model: {violation}")
+
+    def frag(name: str, delta: int):
+        cur["total_kills"] += 1
+        cur["players"].add(name)
+        cur["kills"][name] = cur["kills"].get(name, 0) + delta
+
+    it = zip(
+        pdf["turn_idx"].tolist(),
+        pdf["event_type"].tolist(),
+        pdf["client_id"].tolist(),
+        pdf["name"].tolist(),
+        pdf["killer_id"].tolist(),
+        pdf["victim_id"].tolist(),
+        pdf["killer_name"].tolist(),
+        pdf["victim_name"].tolist(),
+        pdf["reason_name"].tolist(),
+        pdf["frags"].tolist(),
+    )
+    for (turn_idx, et, client_id, name, killer_id, victim_id,
+         killer_name, victim_name, reason_name, frags) in it:
+        if et is None or (isinstance(et, float) and pd.isna(et)):
+            continue  # in-band parse errors don't touch state (rs:127-131)
+
+        if et == "InitGame":
+            if in_game:
+                emit_violation(turn_idx, "DoubleInit")
+            else:
+                in_game = True
+                graceful = False
+                match_seq += 1
+                registry.clear()  # rs:244-247
+                if cur is not None:  # rs:325-336 (unreachable via compose)
+                    emit_error(
+                        turn_idx,
+                        "Two `InitGame` events received before a `ShutdownGame`",
+                    )
+                cur = {
+                    "total_kills": 0,
+                    "players": set(),
+                    "kills": {},
+                    "means": None,
+                    "scores": None,
+                    "disconnected": None,
+                }
+        elif et == "Exit":
+            if in_game:
+                graceful = True  # swallowed, rs:105-112
+            else:
+                emit_violation(turn_idx, "GameNotStarted")
+        elif et == "ShutdownGame":
+            if in_game:
+                in_game = False
+                if cur is None:  # rs:397-403
+                    emit_error(turn_idx, "Game ended, but it was never started")
+                else:
+                    out_rows.append(_render_summary(conv_id, match_seq, cur, graceful))
+                    cur = None
+            else:
+                emit_violation(turn_idx, "GameNotStarted")
+        elif et == "Kill":
+            if means_on and cur is not None:  # rs:158-166 + :362-368
+                if cur["means"] is None:
+                    cur["means"] = {}
+                cur["means"][reason_name] = cur["means"].get(reason_name, 0) + 1
+            # kills(): rs:190-196
+            inc = killer_name != WORLD
+            fid = int(killer_id) if inc else int(victim_id)
+            fname = killer_name if inc else victim_name
+            if players_on and stop_on_violations:
+                # discrepancy gate (rs:224-249): unregistered id -> event
+                # silently DROPPED; name mismatch -> violation
+                if fid not in registry:
+                    continue
+                if registry[fid] != fname:
+                    local = registry[fid] if registry[fid] is not None else "NONE"
+                    emit_violation(
+                        turn_idx,
+                        f"DiscrepantPlayerName {{ id: {fid}, local_name: "
+                        f'"{local}", game_name: "{fname}" }}',
+                    )
+                    continue
+            if cur is not None:
+                frag(fname, 1 if inc else -1)
+        elif et == "ClientConnect" and players_on:
+            had = int(client_id) in registry
+            registry[int(client_id)] = None  # insert replaces (rs:261-265)
+            if had:
+                emit_violation(turn_idx, "DoubleConnect")
+        elif et == "ClientUserinfoChanged" and players_on:
+            cid = int(client_id)
+            if cid not in registry:
+                emit_violation(
+                    turn_idx,
+                    f'ClientNotConnected {{ id: {cid}, name: "{name}" }}',
+                )
+            else:
+                old = registry[cid]
+                registry[cid] = name
+                if old is None:
+                    # AddPlayer (rs:273, :338-342)
+                    if cur is not None:
+                        if name in cur["players"]:
+                            emit_error(
+                                turn_idx,
+                                f'Player id: {cid}, name: "{name}" is already registered',
+                            )
+                        else:
+                            cur["players"].add(name)
+                elif cur is not None:
+                    # RenamePlayer (rs:272, :344-351)
+                    cur["players"].discard(old)
+                    cur["players"].add(name)
+                    if old in cur["kills"]:
+                        cur["kills"][name] = cur["kills"].pop(old)
+        elif et == "ClientDisconnect" and players_on:
+            cid = int(client_id)
+            if cid not in registry:
+                emit_violation(
+                    turn_idx, f'ClientNotConnected {{ id: {cid}, name: "<unknown>" }}'
+                )
+            else:
+                dname = registry.pop(cid)
+                dname = dname if dname is not None else "NONE"
+                # DeletePlayer (rs:276-280, :353-360)
+                if cur is not None:
+                    if dname in cur["kills"]:
+                        if cur["disconnected"] is None:
+                            cur["disconnected"] = []
+                        cur["disconnected"].append(
+                            {"id": cid, "name": dname, "frags": cur["kills"].pop(dname)}
+                        )
+                    if dname in cur["players"]:
+                        cur["players"].discard(dname)
+                    else:
+                        emit_error(
+                            turn_idx,
+                            f'Player id: {cid}, name: "{dname}" was not registered',
+                        )
+        elif et == "Score" and scores_on:
+            if cur is not None:  # rs:390-395 upsert
+                if cur["scores"] is None:
+                    cur["scores"] = {}
+                cur["scores"][name] = int(frags)
+        # any other surviving game event is ignored by summarize (rs:408-411)
+
+    # unterminated match: dangling accumulator dropped silently (rs:397-403)
+    return pd.DataFrame(out_rows, columns=[f.name for f in MATCH_SUMMARY_SCHEMA])
+
+
+def _render_summary(conv_id, match_id, cur, graceful):
+    return {
+        "conv_id": conv_id,
+        "match_id": match_id,
+        "total_kills": cur["total_kills"],
+        "players": sorted(cur["players"]),
+        "kills": [
+            {"player": k, "frags": v} for k, v in sorted(cur["kills"].items())
+        ],
+        "kills_by_means": None
+        if cur["means"] is None
+        else [{"mean": k, "count": v} for k, v in sorted(cur["means"].items())],
+        "game_reported_scores": None
+        if cur["scores"] is None
+        else [{"player": k, "frags": v} for k, v in sorted(cur["scores"].items())],
+        "disconnected_players": cur["disconnected"],
+        "graceful": graceful,
+        "error": None,
+    }
+
+
+DEFAULT_EXTENDED_OPS = frozenset(
+    {"kills", "means_of_death", "player_resolutions", "reported_scores"}
+)
+
+
+def summarize_extended(
+    translated: DataFrame,
+    ops: frozenset[str] = DEFAULT_EXTENDED_OPS,
+    stop_on_violations: bool = False,
+) -> DataFrame:
+    """Exact extended summaries via a grouped-map fold keyed by conv_id.
+
+    The fold only ever holds one conversation's registry + one match
+    accumulator in memory — the distributed analogue of the reference's
+    constant-memory streaming claim (README.md:56).
+    """
+    cols = [c for c in FOLD_COLUMNS if c in translated.columns]
+    narrowed = translated.select(*cols)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_conv(pdf, ops, stop_on_violations)
+
+    return narrowed.groupBy("conv_id").applyInPandas(
+        apply_fn, schema=MATCH_SUMMARY_SCHEMA
+    )

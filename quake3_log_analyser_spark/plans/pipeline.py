@@ -1,0 +1,85 @@
+"""End-to-end pipeline composition — the ``summarize_games`` analogue
+(bll-api/src/lib.rs:12-22, bll/src/summary_logic.rs:44-60).
+
+The reference wires a fixed menu of stream-combinator compositions from a
+config enum; here the "menu" is just which DataFrame transforms get
+composed, and Catalyst prunes everything an omitted op would have computed
+(the reference's "only pay for what you use" claim, summary_logic.rs:30,
+is column pruning for us).
+
+Path selection:
+* ops without ``player_resolutions``  -> fully vectorized DataFrame path
+  (kills / means / scores are order-insensitive aggregates)
+* ops with ``player_resolutions``     -> exact grouped-map replay fold
+  (rename/disconnect/reconnect are order-dependent, summary_logic.rs:210-287)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_transcripts
+from ..operators.sessionize import sessionize
+from ..operators.summarize import (
+    DEFAULT_EXTENDED_OPS,
+    means_of_death_hist,
+    reported_scores,
+    summarize_extended,
+    summarize_kills_only,
+)
+from ..operators.translate import translate
+
+VALID_OPS = {"kills", "means_of_death", "player_resolutions", "reported_scores"}
+
+# the reference's accepted combinations (summary_logic.rs:47-58)
+KILLS_ONLY = frozenset({"kills"})
+
+
+def summarize_matches(
+    transcripts: DataFrame,
+    ops: frozenset[str] | set[str] = KILLS_ONLY,
+    parser: str = "expr",
+    stop_on_violations: bool = False,
+) -> DataFrame:
+    """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA)."""
+    ops = frozenset(ops)
+    unknown = ops - VALID_OPS
+    if unknown:
+        raise ValueError(f"unknown logic ops: {sorted(unknown)}")
+    if "kills" not in ops:
+        raise ValueError("the 'kills' op is mandatory (as in the reference menu)")
+
+    parsed = parse_transcripts(transcripts, parser=parser)
+
+    if "player_resolutions" in ops:
+        # no pre-filter: the fold ignores dropped event types itself, and a
+        # filter here would be pushed through the staged parse projections
+        # (see operators.translate.domain_filter)
+        domain = translate(parsed, with_filter=False)
+        return summarize_extended(domain, ops, stop_on_violations)
+
+    # dropped event types don't affect match state, and summarize filters
+    # to Kill/Score rows above the window — no separate translate filter
+    sessionized = sessionize(parsed)
+    out = summarize_kills_only(sessionized)
+    if "means_of_death" in ops:
+        means = means_of_death_hist(sessionized)
+        out = out.drop("kills_by_means").join(
+            means, ["conv_id", "match_id"], "left"
+        )
+    if "reported_scores" in ops:
+        scores = reported_scores(sessionized)
+        out = out.drop("game_reported_scores").join(
+            scores, ["conv_id", "match_id"], "left"
+        )
+    cols = [
+        "conv_id", "match_id", "total_kills", "players", "kills",
+        "kills_by_means", "game_reported_scores", "disconnected_players",
+        "graceful", "error",
+    ]
+    return out.select(*cols)
+
+
+def full_pipeline_ops() -> frozenset[str]:
+    return DEFAULT_EXTENDED_OPS
