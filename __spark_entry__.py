@@ -1,10 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end pipeline (parse -> sessionize
+-> aggregate) on transcripts deterministically derived from the sf0.001
+``events`` table.  ``queries()`` exposes one entry per implemented operator
+from SURVEY.md §2; each has a DuckDB ``oracle_sql()`` twin that recomputes
+the expected result from the same generation arithmetic WITHOUT parsing —
+so the Spark side exercises the real parser/sessionizer/aggregators and the
+oracle is an independent derivation.
+
+The transcript generator is ONE portable SQL text (``_GEN_SQL``) that runs
+identically in Spark SQL and DuckDB: only `%` arithmetic, row_number,
+lpad, CASE and `||` concatenation (backslashes via chr(92) because Spark
+string literals are escape-processed while DuckDB's are raw).  Every
+conversation is a cycle of 12-turn match blocks:
+
+  m = (turn_idx-1) %% 12 : 0 InitGame, 1 ClientConnect, 2 UserinfoChanged,
+  3-7 Kill, 8 score, 9 Exit, 10 ShutdownGame, 11 Comment
+
+A deterministic subset of Kill turns (event_id %% 97 == 0) is replaced by a
+malformed line (dead-letter path).  A block is a completed match iff its
+m=10 turn exists (the reference's unterminated-match-emits-nothing rule,
+bll/src/summary_logic.rs:397-403).
 """
 
 from __future__ import annotations
@@ -12,27 +28,782 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_CONVS = 41  # co-prime with everything else in the formulas
+
+# ---------------------------------------------------------------------------
+# shared transcript generator (portable Spark SQL + DuckDB)
+# ---------------------------------------------------------------------------
+# feature CTE: all derivation arithmetic (oracle side reads these columns;
+# Spark side reads only the 6 transcript columns and must re-derive by
+# actually parsing `text`)
+_FEAT_SQL = f"""
+WITH base AS (
+  SELECT
+    'conv-' || lpad(CAST(user_id % {N_CONVS} AS STRING), 4, '0') AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id % {N_CONVS} ORDER BY event_id) AS INT) AS turn_idx,
+    event_id, ts
+  FROM events
+),
+feat0 AS (
+  SELECT conv_id, turn_idx, event_id, ts,
+    (turn_idx - 1) % 12 AS m,
+    CAST((turn_idx - 1 - ((turn_idx - 1) % 12) + 0.0) / 12 AS BIGINT) + 1 AS block,
+    2 + (event_id % 5) AS pid,
+    2 + ((event_id * 7 + 3) % 5) AS vid,
+    (event_id % 7) AS rix,
+    (event_id % 4) = 0 AS is_world,
+    (event_id % 40) - 10 AS frags,
+    (event_id % 97) = 0 AS mal_cand
+  FROM base
+),
+feat AS (
+  SELECT conv_id, turn_idx, event_id, ts, m, block, pid, vid, rix, is_world, frags,
+    CAST(CASE rix WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6 WHEN 3 THEN 7
+             WHEN 4 THEN 10 WHEN 5 THEN 19 ELSE 22 END AS BIGINT) AS reason_id,
+    CASE rix WHEN 0 THEN 'MOD_SHOTGUN' WHEN 1 THEN 'MOD_MACHINEGUN'
+             WHEN 2 THEN 'MOD_ROCKET' WHEN 3 THEN 'MOD_ROCKET_SPLASH'
+             WHEN 4 THEN 'MOD_RAILGUN' WHEN 5 THEN 'MOD_FALLING'
+             ELSE 'MOD_TRIGGER_HURT' END AS reason_name,
+    'Player' || CAST(pid AS STRING) AS pname,
+    'Player' || CAST(vid AS STRING) AS vname,
+    (mal_cand AND m >= 3 AND m <= 7) AS is_malformed
+  FROM feat0
+)
+"""
+
+# text rendering on top of feat — the only place the Quake3 line grammar
+# appears; backslash = chr(92)
+_TEXT_SQL = """
+rendered AS (
+  SELECT conv_id, turn_idx,
+    CASE (event_id % 4) WHEN 0 THEN 'system' WHEN 1 THEN 'user'
+                        WHEN 2 THEN 'assistant' ELSE 'tool' END AS role,
+    CASE
+      WHEN is_malformed THEN 'this line has no event shape at all'
+      WHEN m = 0 THEN ' 0:00 InitGame: ' || chr(92) || 'sv_hostname' || chr(92) || 'Code Miner Server'
+                   || chr(92) || 'fraglimit' || chr(92) || '20'
+                   || chr(92) || 'timelimit' || chr(92) || '15'
+                   || chr(92) || 'capturelimit' || chr(92) || '8'
+      WHEN m = 1 THEN ' 0:00 ClientConnect: ' || CAST(pid AS STRING)
+      WHEN m = 2 THEN ' 0:00 ClientUserinfoChanged: ' || CAST(pid AS STRING)
+                   || ' n' || chr(92) || pname || chr(92) || 't' || chr(92) || '0'
+                   || chr(92) || 'model' || chr(92) || 'sarge'
+      WHEN m <= 7 THEN ' 0:00 Kill: '
+                   || CASE WHEN is_world THEN '1022' ELSE CAST(pid AS STRING) END
+                   || ' ' || CAST(vid AS STRING) || ' ' || CAST(reason_id AS STRING) || ': '
+                   || CASE WHEN is_world THEN '<world>' ELSE pname END
+                   || ' killed ' || vname || ' by ' || reason_name
+      WHEN m = 8 THEN ' 0:00 score: ' || CAST(frags AS STRING)
+                   || '  ping: 3  client: ' || CAST(pid AS STRING) || ' ' || pname
+      WHEN m = 9 THEN ' 0:00 Exit: Timelimit hit.'
+      WHEN m = 10 THEN ' 0:00 ShutdownGame:'
+      ELSE ' 0:00 ------------------------------------------------------------'
+    END AS text,
+    CASE (event_id % 5) WHEN 0 THEN 'bash' WHEN 1 THEN 'editor'
+                        WHEN 2 THEN 'search' WHEN 3 THEN 'browser'
+                        ELSE 'none' END AS tool,
+    ts
+  FROM feat
+)
+"""
+
+_GEN_SQL = (
+    _FEAT_SQL + ", " + _TEXT_SQL
+    + "\nSELECT conv_id, turn_idx, role, text, tool, ts FROM rendered"
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(_GEN_SQL)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df.createOrReplaceTempView(name)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full pipeline on sf0.001-derived transcripts -> per-match summaries."""
+    from quake3_log_analyser_spark.plans.pipeline import (
+        full_pipeline_ops,
+        summarize_matches,
+    )
+
+    t = _transcripts(spark, "/root/testdata/sf0.001")
+    out = summarize_matches(t, ops=full_pipeline_ops())
+    return out.select(
+        "conv_id",
+        "match_id",
+        "total_kills",
+        F.size("players").alias("n_players"),
+        "graceful",
+        "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+
+    # expr parser here on purpose: the query keeps the full parsed column
+    # set, the shape where the JVM expression parser is safe and fastest
+    parsed = parse_transcripts(_transcripts(spark, sf_dir), parser="expr")
+    return parsed.select(
+        "conv_id", "turn_idx", "event_type", "client_id", "name",
+        "killer_id", "victim_id", "reason_id",
+        "killer_name", "victim_name", "reason_name",
+        "frags", "frag_limit", "parse_error_kind",
+    )
+
+
+_ORACLE_PARSE = (
+    _FEAT_SQL
+    + """
+SELECT conv_id, turn_idx,
+  CASE WHEN is_malformed THEN NULL
+       WHEN m = 0 THEN 'InitGame' WHEN m = 1 THEN 'ClientConnect'
+       WHEN m = 2 THEN 'ClientUserinfoChanged' WHEN m <= 7 THEN 'Kill'
+       WHEN m = 8 THEN 'Score' WHEN m = 9 THEN 'Exit'
+       WHEN m = 10 THEN 'ShutdownGame' ELSE 'Comment' END AS event_type,
+  CASE WHEN is_malformed THEN NULL
+       WHEN m IN (1, 2, 8) THEN pid END AS client_id,
+  CASE WHEN is_malformed THEN NULL
+       WHEN m = 2 THEN pname WHEN m = 8 THEN pname END AS name,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed
+       THEN CASE WHEN is_world THEN 1022 ELSE pid END END AS killer_id,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed THEN vid END AS victim_id,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed THEN reason_id END AS reason_id,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed
+       THEN CASE WHEN is_world THEN '<world>' ELSE pname END END AS killer_name,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed THEN vname END AS victim_name,
+  CASE WHEN m >= 3 AND m <= 7 AND NOT is_malformed THEN reason_name END AS reason_name,
+  CASE WHEN m = 8 AND NOT is_malformed THEN frags END AS frags,
+  CASE WHEN m = 0 THEN CAST(20 AS BIGINT) END AS frag_limit,
+  CASE WHEN is_malformed THEN 'UnrecognizedLineFormat' END AS parse_error_kind
+FROM feat
+"""
+)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    return s.select(
+        "conv_id", "turn_idx",
+        F.col("match_id").cast("long").alias("match_id"),
+        "in_game", "is_match_start", "is_match_end",
+    )
+
+
+_ORACLE_SESSIONIZE = (
+    _FEAT_SQL
+    + """
+SELECT conv_id, turn_idx,
+  block AS match_id,
+  (m <= 9) AS in_game,
+  (m = 0) AS is_match_start,
+  (m = 10) AS is_match_end
+FROM feat
+"""
+)
+
+
+def _q_match_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    out = summarize_matches(_transcripts(spark, sf_dir), ops={"kills"})
+    return out.select(
+        "conv_id",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.explode("kills").alias("k"),
+    ).select(
+        "conv_id", "match_id",
+        F.col("k.player").alias("player"),
+        F.col("k.frags").alias("frags"),
+    )
+
+
+_ORACLE_MATCH_KILLS = (
+    _FEAT_SQL
+    + """
+, completed AS (
+  SELECT conv_id, block FROM feat WHERE m = 10
+),
+kill_rows AS (
+  SELECT f.conv_id, f.block,
+    CASE WHEN f.is_world THEN f.vname ELSE f.pname END AS player,
+    CASE WHEN f.is_world THEN -1 ELSE 1 END AS delta
+  FROM feat f JOIN completed c ON f.conv_id = c.conv_id AND f.block = c.block
+  WHERE f.m >= 3 AND f.m <= 7 AND NOT f.is_malformed
+)
+SELECT conv_id, block AS match_id, player, CAST(SUM(delta) AS BIGINT) AS frags
+FROM kill_rows GROUP BY conv_id, block, player
+"""
+)
+
+
+def _q_match_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    out = summarize_matches(_transcripts(spark, sf_dir), ops={"kills"})
+    return out.select(
+        "conv_id",
+        F.col("match_id").cast("long").alias("match_id"),
+        "total_kills",
+        "graceful",
+    )
+
+
+_ORACLE_MATCH_TOTALS = (
+    _FEAT_SQL
+    + """
+, completed AS (SELECT conv_id, block FROM feat WHERE m = 10)
+SELECT c.conv_id, c.block AS match_id,
+  (SELECT COUNT(*) FROM feat f
+    WHERE f.conv_id = c.conv_id AND f.block = c.block
+      AND f.m >= 3 AND f.m <= 7 AND NOT f.is_malformed) AS total_kills,
+  TRUE AS graceful
+FROM completed c
+"""
+)
+
+
+def _q_means_of_death(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+    from quake3_log_analyser_spark.operators.summarize import means_of_death_hist
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    hist = means_of_death_hist(s)
+    # flatten + restrict to completed matches for oracle comparability
+    from quake3_log_analyser_spark.operators.sessionize import match_control
+
+    completed = match_control(s).filter("completed").select("conv_id", "match_id")
+    return (
+        hist.join(completed, ["conv_id", "match_id"])
+        .select(
+            "conv_id",
+            F.col("match_id").cast("long").alias("match_id"),
+            F.explode("kills_by_means").alias("e"),
+        )
+        .select(
+            "conv_id", "match_id",
+            F.col("e.mean").alias("mean"),
+            F.col("e.count").alias("n"),
+        )
+    )
+
+
+_ORACLE_MEANS = (
+    _FEAT_SQL
+    + """
+, completed AS (SELECT conv_id, block FROM feat WHERE m = 10)
+SELECT f.conv_id, f.block AS match_id, f.reason_name AS mean, COUNT(*) AS n
+FROM feat f JOIN completed c ON f.conv_id = c.conv_id AND f.block = c.block
+WHERE f.m >= 3 AND f.m <= 7 AND NOT f.is_malformed
+GROUP BY f.conv_id, f.block, f.reason_name
+"""
+)
+
+
+def _q_reported_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import (
+        match_control,
+        sessionize,
+    )
+    from quake3_log_analyser_spark.operators.summarize import reported_scores
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    completed = match_control(s).filter("completed").select("conv_id", "match_id")
+    return (
+        reported_scores(s)
+        .join(completed, ["conv_id", "match_id"])
+        .select(
+            "conv_id",
+            F.col("match_id").cast("long").alias("match_id"),
+            F.explode("game_reported_scores").alias("e"),
+        )
+        .select(
+            "conv_id", "match_id",
+            F.col("e.player").alias("player"),
+            F.col("e.frags").alias("frags"),
+        )
+    )
+
+
+_ORACLE_SCORES = (
+    _FEAT_SQL
+    + """
+, completed AS (SELECT conv_id, block FROM feat WHERE m = 10)
+SELECT f.conv_id, f.block AS match_id, f.pname AS player, MAX(f.frags) AS frags
+FROM feat f JOIN completed c ON f.conv_id = c.conv_id AND f.block = c.block
+WHERE f.m = 8
+GROUP BY f.conv_id, f.block, f.pname
+"""
+)
+
+
+def _q_enrich_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.datagen import dim_means_of_death
+    from quake3_log_analyser_spark.operators.enrich import enrich_kills
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+    from quake3_log_analyser_spark.operators.route import sink_kills
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    kills = sink_kills(s)
+    enriched = enrich_kills(kills, dim_means_of_death(spark))
+    return enriched.groupBy("reason_id", "dict_reason_name").agg(
+        F.count(F.lit(1)).alias("n_kills"),
+        F.max(F.col("reason_name_matches").cast("int")).cast("boolean").alias(
+            "any_match"
+        ),
+    )
+
+
+_ORACLE_ENRICH = (
+    _FEAT_SQL
+    + """
+, kills AS (
+  SELECT reason_id, reason_name FROM feat
+  WHERE m >= 3 AND m <= 7 AND NOT is_malformed
+),
+dim AS (
+  SELECT * FROM (VALUES (1,'MOD_SHOTGUN'),(3,'MOD_MACHINEGUN'),(6,'MOD_ROCKET'),
+    (7,'MOD_ROCKET_SPLASH'),(10,'MOD_RAILGUN'),(19,'MOD_FALLING'),
+    (22,'MOD_TRIGGER_HURT')) AS t(reason_id, dict_reason_name)
+)
+SELECT CAST(k.reason_id AS BIGINT) AS reason_id, d.dict_reason_name, COUNT(*) AS n_kills, TRUE AS any_match
+FROM kills k LEFT JOIN dim d ON k.reason_id = d.reason_id
+GROUP BY k.reason_id, d.dict_reason_name
+"""
+)
+
+
+def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.route import route
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    counts = None
+    for name, df in route(s).items():
+        c = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("sink"), "n_rows"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return counts
+
+
+_ORACLE_ROUTE = (
+    _FEAT_SQL
+    + """
+SELECT 'kills' AS sink, COUNT(*) AS n_rows FROM feat WHERE m >= 3 AND m <= 7 AND NOT is_malformed
+UNION ALL
+SELECT 'client_events', COUNT(*) FROM feat WHERE m IN (1, 2)
+UNION ALL
+SELECT 'scores', COUNT(*) FROM feat WHERE m = 8
+UNION ALL
+SELECT 'match_control', COUNT(*) FROM feat WHERE m IN (0, 9, 10)
+UNION ALL
+SELECT 'errors', COUNT(*) FROM feat WHERE is_malformed
+"""
+)
+
+
+def _q_errors_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.route import sink_errors
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+
+    s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
+    return sink_errors(s).select("conv_id", "turn_idx", "parse_error_kind", "text")
+
+
+_ORACLE_ERRORS = (
+    _FEAT_SQL
+    + """
+SELECT conv_id, turn_idx, 'UnrecognizedLineFormat' AS parse_error_kind,
+       'this line has no event shape at all' AS text
+FROM feat WHERE is_malformed
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# engine-breadth queries on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  SUM(l_extendedprice) AS sum_base_price,
+  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  AVG(l_quantity) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + grouped agg + top-k (rank window)."""
+    from pyspark.sql import Window
+
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "n_orders", "rnk")
+    )
+
+
+_ORACLE_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT c_custkey, c_name, SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, revenue, n_orders,
+  CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rnk
+FROM rev
+QUALIFY rnk <= 10
+"""
+
+
+def _q_event_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the generic events table (window lag +
+    running sum) — the classic pattern next to our delimiter-based one."""
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; go via TIMESTAMP (session TZ pinned to
+    # UTC) so epoch seconds agree with DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+_ORACLE_EVENT_GAP = """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_typed": _q_parse_typed,
+        "sessionize": _q_sessionize,
+        "match_kills": _q_match_kills,
+        "match_totals": _q_match_totals,
+        "means_of_death": _q_means_of_death,
+        "reported_scores": _q_reported_scores,
+        "enrich_reasons": _q_enrich_reasons,
+        "route_counts": _q_route_counts,
+        "errors_deadletter": _q_errors_deadletter,
+        "tpch_q1": _q_tpch_q1,
+        "top_customers": _q_top_customers,
+        "event_gap_sessions": _q_event_gap_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_typed": _ORACLE_PARSE,
+        "sessionize": _ORACLE_SESSIONIZE,
+        "match_kills": _ORACLE_MATCH_KILLS,
+        "match_totals": _ORACLE_MATCH_TOTALS,
+        "means_of_death": _ORACLE_MEANS,
+        "reported_scores": _ORACLE_SCORES,
+        "enrich_reasons": _ORACLE_ENRICH,
+        "route_counts": _ORACLE_ROUTE,
+        "errors_deadletter": _ORACLE_ERRORS,
+        "tpch_q1": _ORACLE_TPCH_Q1,
+        "top_customers": _ORACLE_TOP_CUSTOMERS,
+        "event_gap_sessions": _ORACLE_EVENT_GAP,
+    }
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char-class counting (exact integers for oracle stability)."""
+    from quake3_log_analyser_spark.functions.text import (
+        stopword_count,
+        token_count,
+        ws_tokens,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long").alias("n_digits"),
+        stopword_count(t, "en").alias("n_stop_en"),
+        F.size(F.array_distinct(F.transform(ws_tokens(t), F.lower)))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+    )
+
+
+_ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits,
+  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT AS n_stop_en,
+  len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::BIGINT AS n_distinct_tokens
+FROM documents
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (the exact-dedup key)."""
+    from quake3_log_analyser_spark.functions.text import fingerprint_md5
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+_ORACLE_FINGERPRINTS = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups (hash-groupBy on the fingerprint)."""
+    from quake3_log_analyser_spark.operators.dedup import exact_duplicates
+
+    docs = _table(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("fp", "n_docs")
+
+
+_ORACLE_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-Jaccard near-dup pairs (bucketed candidates + exact verify);
+    jaccard rounded to dodge double-ulp disagreement with the oracle."""
+    from quake3_log_analyser_spark.operators.dedup import jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=1, threshold=0.6)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_ORACLE_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS grams
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM toks a, toks b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+"""
+
+
+def _q_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword hits (the lang-ID heuristic's evidence)."""
+    from quake3_log_analyser_spark.functions.text import stopword_count
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        stopword_count(t, "en").alias("en_hits"),
+        stopword_count(t, "es").alias("es_hits"),
+        stopword_count(t, "de").alias("de_hits"),
+        stopword_count(t, "fr").alias("fr_hits"),
+    )
+
+
+_ORACLE_LANG_HITS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+  len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT AS en_hits,
+  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','los','del','se')))::BIGINT AS es_hits,
+  len(list_filter(w, x -> x IN ('der','die','und','das','ist','von','den','mit','für','auf')))::BIGINT AS de_hits,
+  len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','que','dans','pour')))::BIGINT AS fr_hits
+FROM toks
+"""
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine neighbors above a threshold (queries = vec_id<10);
+    rounded cosine for cross-engine double stability."""
+    from quake3_log_analyser_spark.operators.ann import with_cosine
+
+    emb = _table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = F.broadcast(
+        as_double.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = as_double.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = with_cosine(
+        q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")),
+        "qv", "cv",
+    )
+    return scored.filter(F.round("cosine", 3) >= 0.3).select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine")
+    )
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 3) AS cosine
+FROM q, c
+WHERE query_id != neighbor_id AND round(list_cosine_similarity(qv, cv), 3) >= 0.3
+"""
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine (rank windows; rows-only driver check — ranking
+    ties under double ulps make a cross-engine hash brittle)."""
+    from quake3_log_analyser_spark.operators.ann import cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 has no DuckDB twin ->
+    rows-only driver check; recall vs exact Jaccard asserted in pytest)."""
+    from quake3_log_analyser_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.6)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only driver check)."""
+    from quake3_log_analyser_spark.operators.dedup import simhash_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6)
+
+
+_EXTRA_QUERIES = {
+    "text_stats": _q_text_stats,
+    "fingerprints": _q_fingerprints,
+    "dedup_exact": _q_dedup_exact,
+    "jaccard_pairs": _q_jaccard_pairs,
+    "lang_hits": _q_lang_hits,
+    "ann_cosine": _q_ann_cosine,
+    "ann_topk": _q_ann_topk,
+    "minhash_lsh": _q_minhash_lsh,
+    "simhash_pairs": _q_simhash_pairs,
+}
+
+_EXTRA_ORACLES = {
+    "text_stats": _ORACLE_TEXT_STATS,
+    "fingerprints": _ORACLE_FINGERPRINTS,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "jaccard_pairs": _ORACLE_JACCARD,
+    "lang_hits": _ORACLE_LANG_HITS,
+    "ann_cosine": _ORACLE_ANN,
+    # ann_topk / minhash_lsh / simhash_pairs: deliberately rows-only
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = dict(_BASE_QUERIES())
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = dict(_BASE_ORACLES())
+    out.update(_EXTRA_ORACLES)
+    return out

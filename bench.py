@@ -1,0 +1,157 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metric: end-to-end transcript-pipeline throughput (turns/sec) for
+parse -> sessionize -> aggregate on a deterministic synthetic transcripts
+table sized to the scale factor (~3.3 turns per lineitem row, i.e. ~2M
+turns at sf0.1).  The transcripts parquet is generated once per sf into
+``data/`` and reused.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input scale dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores    (default all)
+
+Also measured: the pandas-UDF parser vs the column-expression parser (the
+Spark analogue of the reference's split-vs-regex study,
+quake3-server-events/benches/parsing_strategies.rs), the extended exact
+fold, fan-out routing, and the generic engine queries.
+
+Run ``python scripts/scaling_bench.py`` for the N-vs-4N-cores scaling
+evidence (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO = Path(__file__).resolve().parent
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# transcripts per sf: ~10 turns per orders row (sf0.1 -> ~2.0M turns)
+TURNS_PER_CONV = 600
+
+
+def ensure_transcripts(spark, sf_name: str, n_rows_hint: int) -> str:
+    """Generate (once) and return the path of the bench transcripts table."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+
+    n_convs = max(64, n_rows_hint // TURNS_PER_CONV)
+    path = str(REPO / "data" / f"transcripts_{sf_name}_{n_convs}x{TURNS_PER_CONV}")
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():
+        df = generate_transcripts(
+            spark,
+            n_convs=n_convs,
+            turns_per_conv=TURNS_PER_CONV,
+            malformed_per_mille=5,
+            hot_conv_factor=8,
+            partitions=CPUS * 2,
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.session import get_spark
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+    from quake3_log_analyser_spark.operators.summarize import summarize_kills_only
+    from quake3_log_analyser_spark.plans.pipeline import (
+        full_pipeline_ops,
+        summarize_matches,
+    )
+    from quake3_log_analyser_spark.schemas import TRANSCRIPT_SCHEMA
+    import __spark_entry__ as entrymod
+
+    sf_name = Path(SF_DIR).name
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    orders_rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    tpath = ensure_transcripts(spark, sf_name, orders_rows * 10)
+    transcripts = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tpath)
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn, warm: bool = False):
+        if warm:  # one warm-up run so codegen/JIT cost lands outside timing
+            fn()
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # headline: parse -> sessionize -> per-match aggregate (kills-only path)
+    def run_pipeline():
+        out = summarize_matches(transcripts, ops={"kills"})
+        return out.agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("total_kills").alias("kills"),
+        ).collect()[0]
+
+    head = bench("pipeline_kills", run_pipeline, warm=True)
+
+    # parser comparison (reference: split vs regex, 3200x — ours: JVM
+    # expressions vs Arrow pandas UDF)
+    def run_parse(parser):
+        def _f():
+            return (
+                parse_transcripts(transcripts, parser=parser)
+                .agg(F.count("event_type").alias("n"))
+                .collect()[0]["n"]
+            )
+        return _f
+
+    bench("parse_expr", run_parse("expr"), warm=True)
+    bench("parse_pandas", run_parse("pandas"))
+
+    # extended exact fold (applyInPandas per conv)
+    bench(
+        "pipeline_extended",
+        lambda: summarize_matches(transcripts, ops=full_pipeline_ops())
+        .agg(F.count(F.lit(1))).collect(),
+    )
+
+    # fan-out routing (writes all five sinks)
+    from quake3_log_analyser_spark.operators.route import write_sinks
+
+    sink_dir = str(REPO / "data" / f"sinks_{sf_name}")
+    bench(
+        "route_sinks",
+        lambda: write_sinks(sessionize(parse_transcripts(transcripts)), sink_dir),
+    )
+
+    # generic engine queries on the sf tables
+    qs = entrymod.queries()
+    for qname in ["tpch_q1", "top_customers", "event_gap_sessions"]:
+        bench(qname, lambda qn=qname: qs[qn](spark, SF_DIR).collect())
+
+    pipeline_sec = timings["pipeline_kills"]
+    turns_per_sec = round(n_turns / pipeline_sec) if pipeline_sec > 0 else 0
+    print(
+        json.dumps(
+            {
+                "metric": "transcript_pipeline_e2e_seconds",
+                "value": pipeline_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "n_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "n_matches": head["n_matches"],
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

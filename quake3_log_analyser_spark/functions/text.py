@@ -1,0 +1,149 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All JVM-side expressions (no Python in the hot path): token counting,
+character-class ratios, stopword-based quality scoring, n-gram shingling,
+language-ID heuristics and document fingerprinting over a ``text`` column
+(e.g. the ``documents`` table).  Each has a DuckDB-expressible twin used by
+the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword dictionaries for the lang-ID heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "se"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que", "dans", "pour"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: word pieces + standalone punctuation.
+
+    A cheap upper-structure proxy for tokenizer counts: alphanumeric runs
+    count 1 per ceil(len/4) (~4 chars per BPE token) plus punctuation marks.
+    """
+    words = F.filter(ws_tokens(text), lambda w: F.length(w) > 0)
+    word_tokens = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return (word_tokens + punct).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    d = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = F.transform(ws_tokens(text), lambda w: F.lower(w))
+    return F.size(F.filter(toks, lambda w: w.isin(words))).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: long enough, mostly letters, some stopwords.
+
+    The usual pre-training heuristics (length / punctuation / stopword
+    density), deliberately simple and fully expression-based.
+    """
+    n_tok = token_count(text)
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 4)
+    stop_ok = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return (len_ok * 0.4 + punct_pen * 0.2 + digit_pen * 0.2 + stop_ok * 0.2).cast(
+        "double"
+    )
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    # NB: the lambda must take exactly ONE parameter — pyspark treats a
+    # second parameter (even defaulted) as the element-index argument
+    return F.size(F.filter(toks, lambda w: w.isin(words)))
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax of per-language stopword hits; 'und' (undetermined) on ties
+    at zero."""
+    toks = F.transform(ws_tokens(text), lambda w: F.lower(w))
+    scores = {lang: _hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic tie-break: language order as declared
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Normalized-content fingerprint (the exact-dedup key)."""
+    return F.md5(normalize_text(text))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (for Jaccard / MinHash)."""
+    toks = F.transform(ws_tokens(text), lambda w: F.lower(w))
+    k = F.size(toks)
+    grams = F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: per seed, min over xxhash64(seed ++ shingle).
+
+    Empty shingle sets get a sentinel signature that never collides.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return F.when(F.size(shingles) > 0, sig)

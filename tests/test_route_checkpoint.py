@@ -1,0 +1,98 @@
+"""Fan-out routing (per-sink schemas + routed-row text equality) and the
+idempotent-resume checkpoint (lineage + metrics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quake3_log_analyser_spark.operators.parse import parse_transcripts
+from quake3_log_analyser_spark.operators.route import route, write_sinks
+from quake3_log_analyser_spark.operators.sessionize import sessionize
+from quake3_log_analyser_spark.sources.transcripts import transcripts_from_file
+from tests.conftest import FIXTURES_BLL
+
+
+@pytest.fixture(scope="module")
+def sessionized(spark):
+    path = FIXTURES_BLL / "qgames_permissive.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "permissive")
+    return sessionize(parse_transcripts(t)).persist()
+
+
+def test_routing_partitions_every_domain_row_exactly_once(spark, sessionized):
+    sinks = route(sessionized)
+    n_by_sink = {name: df.count() for name, df in sinks.items()}
+    total_routed = sum(n_by_sink.values())
+    # every parsed row lands in exactly one sink except the dropped types
+    # (Item/Say/Begin/CTF/Comment) which land nowhere
+    dropped = sessionized.filter(
+        F.col("event_type").isin(
+            "Item", "Say", "ClientBegin", "CaptureTheFlagResults", "Comment"
+        )
+    ).count()
+    assert total_routed + dropped == sessionized.count()
+    assert n_by_sink["errors"] > 0  # the permissive log has malformed lines
+
+
+def test_routed_rows_preserve_text_verbatim(spark, sessionized, tmp_path):
+    """Per-row invariant from the north_rule: routed rows preserve `text`
+    equality against the source under (conv_id, turn_idx)."""
+    paths = write_sinks(sessionized, str(tmp_path / "sinks"))
+    source_text = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sessionized.select("conv_id", "turn_idx", "text").collect()
+    }
+    for name, p in paths.items():
+        for r in spark.read.parquet(p).select("conv_id", "turn_idx", "text").collect():
+            assert r["text"] == source_text[(r["conv_id"], r["turn_idx"])], (
+                f"sink {name} mutated text at {r['conv_id']}/{r['turn_idx']}"
+            )
+
+
+def test_error_sink_carries_the_permissive_bad_line(spark, sessionized):
+    """qgames_permissive.log line 97 is the famous ' 26  0:00 ---' line
+    (app/src/main.rs:41-48) -> UnknownEventName in the dead-letter sink."""
+    errors = route(sessionized)["errors"].collect()
+    by_turn = {r["turn_idx"]: r for r in errors}
+    assert 97 in by_turn
+    assert by_turn[97]["parse_error_kind"] == "UnknownEventName"
+
+
+def test_checkpoint_idempotent_resume(spark, tmp_path):
+    from quake3_log_analyser_spark.plans.checkpoint import (
+        committed_units,
+        run_resumable,
+    )
+
+    path = FIXTURES_BLL / "discrepant.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "discrepant")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    done1 = run_resumable(spark, t, out, ckpt, run_id="r1", n_units=4)
+    assert len(done1) == 4
+    # lineage/metrics rows exist per unit
+    ck = spark.read.parquet(ckpt)
+    assert ck.count() == 4
+    metrics = ck.agg(F.sum("n_input_rows"), F.sum("n_matches")).collect()[0]
+    assert metrics[0] == t.count()
+    assert metrics[1] == 1  # one completed match in discrepant.log
+
+    # re-run: everything committed -> no-op
+    done2 = run_resumable(spark, t, out, ckpt, run_id="r2", n_units=4)
+    assert done2 == []
+    assert spark.read.parquet(ckpt).count() == 4
+
+    # partial resume: drop one unit's checkpoint rows -> only it re-runs
+    kept = ck.filter(F.col("unit") != "convhash=1")
+    kept.write.mode("overwrite").parquet(str(tmp_path / "ckpt2"))
+    done3 = run_resumable(spark, t, out, str(tmp_path / "ckpt2"), "r3", n_units=4)
+    assert done3 == ["convhash=1"]
+    # summaries output readable and correct after resume
+    total = spark.read.parquet(f"{out}/summaries/*").count()
+    assert total == 1

@@ -1,0 +1,210 @@
+"""Training-data operator tests: dedup (exact / jaccard / minhash-LSH /
+simhash), ANN (brute force + LSH recall), text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # inject controlled duplicates: exact copy (id+10000) and a whitespace/
+    # case variant (id+20000) of the first 20 docs
+    subset = base.filter(F.col("doc_id") < 20)
+    exact = subset.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    fuzzy = subset.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("   "))).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(fuzzy).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_injected_dups(spark, docs):
+    from quake3_log_analyser_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    # each of the 20 originals now has exact + case/whitespace variants
+    # (normalization lowers + collapses whitespace -> all three collide)
+    assert len(groups) == 20
+    for g in groups:
+        assert g["n_docs"] == 3
+
+
+def test_jaccard_pairs_finds_fuzzy_dups(spark, docs):
+    from quake3_log_analyser_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs, n=1, threshold=0.999).collect()
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    for i in range(20):
+        assert (i, i + 10000) in got  # exact copy has J = 1.0
+        assert (i, i + 20000) in got  # case variant has J = 1.0 after lower()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover nearly all high-Jaccard pairs."""
+    from quake3_log_analyser_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    exact = {
+        (p["doc_a"], p["doc_b"])
+        for p in jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_lsh_pairs(
+            docs, n=3, n_hashes=16, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert lsh <= exact or not exact, "LSH must not invent pairs (same verify)"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_dups(spark, docs):
+    from quake3_log_analyser_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, max_hamming=0).collect()
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    for i in range(3):
+        assert (i, i + 10000) in got, "identical docs share the simhash"
+
+
+def test_ann_bruteforce_topk(spark, emb):
+    from quake3_log_analyser_spark.operators.ann import cosine_topk
+
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=7).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert len(rows) == 7
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ann_lsh_recall(spark, emb):
+    """LSH top-k must overlap heavily with brute force at small scale."""
+    from quake3_log_analyser_spark.operators.ann import cosine_topk, lsh_cosine_topk
+
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).collect()
+    approx = lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=12, bands=6
+    ).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rnk"] == 1}
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for q, n1 in exact_top1.items() if n1 in approx_sets.get(q, set())
+    )
+    assert hits >= 3, f"LSH found top-1 for only {hits}/5 queries"
+
+
+def test_embedding_near_dups_on_injected(spark, emb):
+    from quake3_log_analyser_spark.operators.ann import embedding_near_dups
+
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    pairs = embedding_near_dups(both, threshold=0.999).collect()
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    for i in range(5):
+        assert (i, i + 5000) in got
+
+
+def test_text_functions(spark):
+    from quake3_log_analyser_spark.functions.text import (
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of cards"),
+            (2, "el perro y el gato en la casa de los árboles"),
+            (3, ""),
+            (4, "der hund und die katze ist von den bergen mit für auf"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            lang_guess(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 11 and rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[3]["n"] == 0 and rows[3]["lang"] == "und"
+    assert rows[4]["lang"] == "de"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+    assert rows[1]["q"] > rows[3]["q"]
+
+
+def test_lang_guess_on_documents_table(spark):
+    """The synthetic documents corpus uses one English-ish vocabulary for
+    every `lang` label (labels are random, texts are not translated), so
+    the heuristic must overwhelmingly answer 'en' — never a spurious
+    es/de/fr hit from that vocab."""
+    from quake3_log_analyser_spark.functions.text import lang_guess
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r["guess"]: r["n"]
+        for r in docs.select(lang_guess(F.col("text")).alias("guess"))
+        .groupBy("guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) <= {"en", "und"}
+    assert counts.get("en", 0) > counts.get("und", 0)
+
+
+def test_multimodal_plumbing(spark):
+    from quake3_log_analyser_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    # determinism: same payload -> same feature
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert feats2[0] == by_id[0]["feature"]
+
+    frames = frame_sample_plan(media, every_n=10)
+    rows = frames.groupBy("media_id").count().collect()
+    assert rows and all(r["count"] >= 3 for r in rows)
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    from quake3_log_analyser_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
