@@ -33,12 +33,35 @@ from ..schemas import EVENT_COLUMN_NAMES
 PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
 
 
-def parse_transcripts(df: DataFrame, parser: str = "pandas") -> DataFrame:
-    """Parse the ``text`` column of a transcripts table into typed columns."""
-    cols = [c for c in PASSTHROUGH if c in df.columns]
+def parse_transcripts(df: DataFrame, parser: str = "arrow") -> DataFrame:
+    """Parse the ``text`` column of a transcripts table into typed columns.
+
+    ``parser`` is one of:
+      * ``arrow``  (default) — pyarrow.compute kernels via mapInArrow; the
+        fastest path and an optimizer barrier (see module docstring)
+      * ``pandas`` — Arrow-batched pandas UDF (same barrier, ~10x slower
+        string kernels; kept as a semantic cross-check)
+      * ``expr``   — pure JVM column expressions (whole-stage codegen);
+        safe only when the full parsed column set is kept downstream
+    """
+    # pass through every non-event column (includes match columns when the
+    # caller sessionized on raw text first — see sessionize_raw)
+    cols = [c for c in df.columns if c not in EVENT_COLUMN_NAMES]
     if parser == "expr":
         return parse_expr_df(df.select(*cols)).select(*cols, *EVENT_COLUMN_NAMES)
     if parser == "pandas":
         ev = make_parse_pandas_udf()(df["text"])
         return df.select(*cols, ev.alias("_ev")).select(*cols, "_ev.*")
-    raise ValueError(f"unknown parser {parser!r} (want 'expr' or 'pandas')")
+    if parser == "arrow":
+        from pyspark.sql import types as T
+
+        from ..functions.parse_arrow import make_map_in_arrow_fn
+        from ..schemas import EVENT_FIELDS
+
+        narrowed = df.select(*cols)
+        out_schema = T.StructType(
+            [narrowed.schema[c] for c in cols]
+            + [T.StructField(n, t, True) for n, t in EVENT_FIELDS]
+        )
+        return narrowed.mapInArrow(make_map_in_arrow_fn(cols), schema=out_schema)
+    raise ValueError(f"unknown parser {parser!r} (want 'arrow', 'pandas' or 'expr')")

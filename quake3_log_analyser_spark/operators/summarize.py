@@ -66,36 +66,56 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
     ``kills`` the signed per-name sum — and only matches that saw an
     effective ShutdownGame emit a row (:397-403).
     """
-    kills = sessionized.filter(
-        (F.col("event_type") == "Kill")
-        & F.col("in_game")
-        & (F.col("match_id") > 0)
+    # ONE pass over the sessionized stream: kill rows and match-control
+    # rows flow through the SAME two-level aggregation (control rows carry
+    # frag_name = null), so the upstream parse+window DAG is scanned once —
+    # a branch-and-join formulation re-computes it per branch.
+    et = F.col("event_type")
+    is_kill = (et == "Kill") & F.col("in_game")
+    relevant = sessionized.filter(
+        (F.col("match_id") > 0)
+        & (F.col("in_game") | F.col("is_match_end"))
+        & et.isin("Kill", "Exit", "ShutdownGame")
     )
-    per_name = (
-        frag_attribution(kills)
-        .groupBy("conv_id", "match_id", "frag_name")
-        .agg(
-            F.sum("frag_delta").cast("long").alias("frags"),
-            F.count(F.lit(1)).alias("n_kills"),
-        )
+    is_world = F.col("killer_name") == WORLD
+    keyed = relevant.select(
+        "conv_id",
+        "match_id",
+        F.when(
+            is_kill,
+            F.when(is_world, F.col("victim_name")).otherwise(F.col("killer_name")),
+        ).alias("frag_name"),
+        F.when(is_kill, F.when(is_world, F.lit(-1)).otherwise(F.lit(1))).alias(
+            "frag_delta"
+        ),
+        F.col("is_match_end").alias("completed"),
+        ((et == "Exit") & F.col("in_game")).alias("graceful"),
+    )
+    per_name = keyed.groupBy("conv_id", "match_id", "frag_name").agg(
+        F.sum("frag_delta").cast("long").alias("frags"),
+        F.count("frag_delta").alias("n_kills"),
+        F.max("completed").alias("completed"),
+        F.max("graceful").alias("graceful"),
+    )
+    kill_entry = F.when(
+        F.col("frag_name").isNotNull(),
+        F.struct(F.col("frag_name").alias("player"), F.col("frags").alias("frags")),
     )
     per_match = per_name.groupBy("conv_id", "match_id").agg(
         F.sum("n_kills").alias("total_kills"),
-        F.array_sort(F.collect_list("frag_name")).alias("players"),
         F.array_sort(
-            F.collect_list(F.struct(F.col("frag_name").alias("player"), "frags"))
-        ).alias("kills"),
+            F.collect_list(F.when(F.col("frag_name").isNotNull(), F.col("frag_name")))
+        ).alias("players"),
+        F.array_sort(F.collect_list(kill_entry)).alias("kills"),
+        F.max("completed").alias("completed"),
+        F.max("graceful").alias("graceful"),
     )
-    control = match_control(sessionized).filter(F.col("completed"))
-    out = control.join(per_match, ["conv_id", "match_id"], "left")
-    empty_kills = F.lit([]).cast(MATCH_SUMMARY_SCHEMA["kills"].dataType)
-    empty_players = F.lit([]).cast("array<string>")
-    return out.select(
+    return per_match.filter(F.col("completed")).select(
         "conv_id",
         "match_id",
         F.coalesce("total_kills", F.lit(0)).alias("total_kills"),
-        F.coalesce("players", empty_players).alias("players"),
-        F.coalesce("kills", empty_kills).alias("kills"),
+        "players",
+        F.col("kills").cast(MATCH_SUMMARY_SCHEMA["kills"].dataType).alias("kills"),
         F.lit(None).cast(MATCH_SUMMARY_SCHEMA["kills_by_means"].dataType).alias(
             "kills_by_means"
         ),

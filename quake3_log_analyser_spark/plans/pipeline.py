@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.parse import parse_transcripts
-from ..operators.sessionize import sessionize
+from ..operators.sessionize import sessionize, sessionize_raw
 from ..operators.summarize import (
     DEFAULT_EXTENDED_OPS,
     means_of_death_hist,
@@ -39,10 +39,18 @@ KILLS_ONLY = frozenset({"kills"})
 def summarize_matches(
     transcripts: DataFrame,
     ops: frozenset[str] | set[str] = KILLS_ONLY,
-    parser: str = "pandas",
+    parser: str = "arrow",
     stop_on_violations: bool = False,
+    session_first: bool = False,
 ) -> DataFrame:
-    """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA)."""
+    """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA).
+
+    ``session_first=True`` sessionizes on RAW text before parsing
+    (operators.sessionize.sessionize_raw): with a conv_id-bucketed,
+    (conv_id, turn_idx)-sorted source table the window then needs NO
+    shuffle and NO sort — the preferred plan at scale.  Results are
+    identical either way (asserted in tests).
+    """
     ops = frozenset(ops)
     unknown = ops - VALID_OPS
     if unknown:
@@ -50,9 +58,8 @@ def summarize_matches(
     if "kills" not in ops:
         raise ValueError("the 'kills' op is mandatory (as in the reference menu)")
 
-    parsed = parse_transcripts(transcripts, parser=parser)
-
     if "player_resolutions" in ops:
+        parsed = parse_transcripts(transcripts, parser=parser)
         # no pre-filter: the fold ignores dropped event types itself, and a
         # filter here would be pushed through the staged parse projections
         # (see operators.translate.domain_filter)
@@ -61,7 +68,13 @@ def summarize_matches(
 
     # dropped event types don't affect match state, and summarize filters
     # to Kill/Score rows above the window — no separate translate filter
-    sessionized = sessionize(parsed)
+    if session_first:
+        raw_sess = sessionize_raw(
+            transcripts.select("conv_id", "turn_idx", "text")
+        )
+        sessionized = parse_transcripts(raw_sess, parser=parser)
+    else:
+        sessionized = sessionize(parse_transcripts(transcripts, parser=parser))
     out = summarize_kills_only(sessionized)
     if "means_of_death" in ops:
         means = means_of_death_hist(sessionized)

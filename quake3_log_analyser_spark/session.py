@@ -49,6 +49,9 @@ def get_spark(
         # projection codegen (which DOES split methods and compiles), while
         # narrow stages — scans, aggregates, joins — keep full WSCG fusion.
         .config("spark.sql.codegen.maxFields", "40")
+        # report the (conv_id, turn_idx) sort order of one-file-per-bucket
+        # bucketed tables so the sessionize window skips its Sort entirely
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

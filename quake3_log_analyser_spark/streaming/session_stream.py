@@ -137,7 +137,7 @@ def summarize_matches_stream(
     indefinitely, so ``processAllAvailable()``-style draining (tests,
     batch-parity runs) would never return.
     """
-    parsed = parse_transcripts(transcripts_stream, parser="pandas")
+    parsed = parse_transcripts(transcripts_stream, parser="arrow")
     narrowed = parsed.select("conv_id", *FOLD_COLS)
     return narrowed.groupBy("conv_id").applyInPandasWithState(
         make_session_func(ops, stop_on_violations, idle_timeout_ms),

@@ -388,3 +388,28 @@ def test_malformed_lines_in_band_errors(spark):
     assert rows[6]["parse_error_kind"] == "UnknownDataFormat"
     for i in (3, 4):
         assert rows[i]["parse_error_kind"] is None
+
+
+# --- session-first (bucketed fast path) parity ---------------------------------
+def test_session_first_equals_parse_first(spark):
+    """sessionize_raw on raw text + late parse must produce identical
+    summaries to the parse-first plan (same marker semantics)."""
+    path = FIXTURES_BLL / "qgames_permissive.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "permissive")
+
+    def norm(rows):
+        return sorted(
+            (
+                r["conv_id"], r["match_id"], r["total_kills"],
+                tuple(r["players"] or []),
+                tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
+                r["graceful"],
+            )
+            for r in rows
+        )
+
+    a = norm(summarize_matches(t, ops={"kills"}).collect())
+    b = norm(summarize_matches(t, ops={"kills"}, session_first=True).collect())
+    assert a == b and len(a) == 20
