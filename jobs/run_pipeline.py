@@ -1,0 +1,74 @@
+"""Production job entry — ``spark-submit --py-files`` launcher.
+
+    zip -r pipeline.zip quake3_log_analyser_spark/
+    spark-submit --py-files pipeline.zip jobs/run_pipeline.py \
+        --input  <transcripts parquet path or Iceberg table> \
+        --output <sink base path> \
+        --checkpoint <checkpoint table path> \
+        --ops kills,means_of_death,player_resolutions,reported_scores \
+        --run-id nightly-2024-06-01 [--resume] [--session-first]
+
+Runs parse -> sessionize -> route (five sinks) -> summaries with
+per-partition lineage/metrics committed to the checkpoint table; with
+``--resume`` only uncommitted units are processed (idempotent restart).
+On a cluster the session builder comes from spark-submit's conf, so the
+local[] master in session.py is bypassed via SparkSession.getActiveSession.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--ops", default="kills")
+    ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--session-first", action="store_true")
+    ap.add_argument("--n-units", type=int, default=64)
+    ap.add_argument("--stop-on-violations", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.route import write_sinks
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+    from quake3_log_analyser_spark.plans.checkpoint import run_resumable
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+    from quake3_log_analyser_spark.session import get_spark
+    from quake3_log_analyser_spark.sources.transcripts import load_transcripts
+
+    spark = SparkSession.getActiveSession() or get_spark("transcript-pipeline")
+    transcripts = load_transcripts(spark, args.input)
+    ops = frozenset(args.ops.split(","))
+
+    if args.resume:
+        units = run_resumable(
+            spark, transcripts, args.output, args.checkpoint,
+            run_id=args.run_id, n_units=args.n_units,
+        )
+        print(f"resumable run {args.run_id}: processed units {units}")
+    else:
+        sessionized = sessionize(parse_transcripts(transcripts))
+        paths = write_sinks(sessionized, f"{args.output}/sinks")
+        summaries = summarize_matches(
+            transcripts, ops=ops,
+            stop_on_violations=args.stop_on_violations,
+            session_first=args.session_first,
+        )
+        summaries.write.mode("overwrite").parquet(f"{args.output}/match_summaries")
+        print(f"run {args.run_id}: sinks={list(paths)} + match_summaries")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,18 @@ def _and(*conds):
     return pc.coalesce(out, pa.scalar(False))
 
 
-def parse_text_batch(texts: pa.Array) -> dict[str, pa.Array]:
-    """Parse one batch of raw log lines -> dict of typed event arrays."""
+def parse_text_batch(
+    texts: pa.Array, fields: list[str] | None = None
+) -> dict[str, pa.Array]:
+    """Parse one batch of raw log lines -> dict of typed event arrays.
+
+    ``fields`` restricts the OUTPUT columns (event_type always included):
+    the dispatch/validity kernels still run (they define event_type), but
+    output-only work — error-string rendering, field gating — is skipped,
+    and the Arrow payload crossing back over the JVM boundary shrinks
+    accordingly (the boundary transport, not the compute, is the scaling
+    limit of this stage on one box).
+    """
     texts = pc.coalesce(texts, pa.scalar(""))
     n = len(texts)
     stripped = pc.utf8_ltrim(texts, " ")
@@ -246,7 +256,12 @@ def parse_text_batch(texts: pa.Array) -> dict[str, pa.Array]:
             kind = pc.if_else(take, pa.scalar(label, pa.string()), kind)
         decided = pc.or_(decided, pc.coalesce(cond, FALSE))
 
-    parse_error = pc.if_else(
+    want = None if fields is None else set(fields) | {"event_type"}
+
+    def wanted(name):
+        return want is None or name in want
+
+    parse_error = _NULL_STR if not wanted("parse_error") else pc.if_else(
         pc.is_valid(kind),
         pc.binary_join_element_wise(
             kind, pa.scalar(" at event '"),
@@ -259,45 +274,63 @@ def parse_text_batch(texts: pa.Array) -> dict[str, pa.Array]:
     def only(etype_label, arr, null=_NULL_I64):
         return pc.if_else(_eq(event_type, etype_label), arr, null)
 
-    client_id = pc.if_else(
-        pc.is_in(event_type, value_set=pa.array(["ClientConnect", "ClientBegin", "ClientDisconnect"])),
-        plain_id,
-        pc.if_else(_eq(event_type, "ClientUserinfoChanged"), ui_id,
-                   pc.if_else(_eq(event_type, "Score"), s_cid, _NULL_I64)),
-    )
-    name = pc.if_else(_eq(event_type, "ClientUserinfoChanged"), ui_name,
-                      pc.if_else(_eq(event_type, "Score"), s_name, _NULL_STR))
+    if wanted("client_id"):
+        client_id = pc.if_else(
+            pc.is_in(event_type, value_set=pa.array(["ClientConnect", "ClientBegin", "ClientDisconnect"])),
+            plain_id,
+            pc.if_else(_eq(event_type, "ClientUserinfoChanged"), ui_id,
+                       pc.if_else(_eq(event_type, "Score"), s_cid, _NULL_I64)),
+        )
+    else:
+        client_id = _NULL_I64
+    if wanted("name"):
+        name = pc.if_else(_eq(event_type, "ClientUserinfoChanged"), ui_name,
+                          pc.if_else(_eq(event_type, "Score"), s_name, _NULL_STR))
+    else:
+        name = _NULL_STR
 
-    return {
+    def gate(col, etype_label, arr, null=_NULL_I64):
+        return only(etype_label, arr, null) if wanted(col) else null
+
+    full = {
         "event_type": event_type,
-        "frag_limit": only("InitGame", frag_limit),
-        "capture_limit": only("InitGame", capture_limit),
-        "time_limit_min": only("InitGame", time_limit_min),
+        "frag_limit": gate("frag_limit", "InitGame", frag_limit),
+        "capture_limit": gate("capture_limit", "InitGame", capture_limit),
+        "time_limit_min": gate("time_limit_min", "InitGame", time_limit_min),
         "client_id": client_id,
         "name": name,
-        "killer_id": only("Kill", kid),
-        "victim_id": only("Kill", vid),
-        "reason_id": only("Kill", rid),
-        "killer_name": only("Kill", killer_name_r, _NULL_STR),
-        "victim_name": only("Kill", victim_name_r, _NULL_STR),
-        "reason_name": only("Kill", reason_name_r, _NULL_STR),
-        "frags": only("Score", s_frags),
-        "red": only("CaptureTheFlagResults", red_v),
-        "blue": only("CaptureTheFlagResults", blue_v),
-        "parse_error_kind": kind,
+        "killer_id": gate("killer_id", "Kill", kid),
+        "victim_id": gate("victim_id", "Kill", vid),
+        "reason_id": gate("reason_id", "Kill", rid),
+        "killer_name": gate("killer_name", "Kill", killer_name_r, _NULL_STR),
+        "victim_name": gate("victim_name", "Kill", victim_name_r, _NULL_STR),
+        "reason_name": gate("reason_name", "Kill", reason_name_r, _NULL_STR),
+        "frags": gate("frags", "Score", s_frags),
+        "red": gate("red", "CaptureTheFlagResults", red_v),
+        "blue": gate("blue", "CaptureTheFlagResults", blue_v),
+        "parse_error_kind": kind if wanted("parse_error_kind") else _NULL_STR,
         "parse_error": parse_error,
     }
+    if want is None:
+        return full
+    out = {}
+    for k, v in full.items():
+        if k in want:
+            out[k] = v if not isinstance(v, pa.Scalar) else pa.nulls(
+                n, pa.int64() if v is _NULL_I64 else pa.string()
+            )
+    return out
 
 
-def make_map_in_arrow_fn(passthrough: list[str]):
+def make_map_in_arrow_fn(passthrough: list[str], fields: list[str] | None = None):
     """RecordBatch iterator transform for ``DataFrame.mapInArrow``."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            fields = parse_text_batch(batch.column("text"))
+            cols = parse_text_batch(batch.column("text"), fields)
             arrays = [batch.column(c) for c in passthrough]
             names = list(passthrough)
-            for k, v in fields.items():
+            for k, v in cols.items():
                 arrays.append(v)
                 names.append(k)
             yield pa.RecordBatch.from_arrays(arrays, names=names)

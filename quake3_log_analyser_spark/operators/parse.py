@@ -33,8 +33,15 @@ from ..schemas import EVENT_COLUMN_NAMES
 PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
 
 
-def parse_transcripts(df: DataFrame, parser: str = "arrow") -> DataFrame:
+def parse_transcripts(
+    df: DataFrame, parser: str = "arrow", fields: list[str] | None = None
+) -> DataFrame:
     """Parse the ``text`` column of a transcripts table into typed columns.
+
+    ``fields`` narrows the emitted event columns (event_type always
+    included) — with the arrow parser this shrinks the Arrow payload
+    crossing the Python boundary, which is the stage's scaling limit on a
+    single box.
 
     ``parser`` is one of:
       * ``arrow``  (default) — pyarrow.compute kernels via mapInArrow; the
@@ -47,11 +54,18 @@ def parse_transcripts(df: DataFrame, parser: str = "arrow") -> DataFrame:
     # pass through every non-event column (includes match columns when the
     # caller sessionized on raw text first — see sessionize_raw)
     cols = [c for c in df.columns if c not in EVENT_COLUMN_NAMES]
+    out_fields = (
+        EVENT_COLUMN_NAMES
+        if fields is None
+        else [c for c in EVENT_COLUMN_NAMES if c == "event_type" or c in fields]
+    )
     if parser == "expr":
-        return parse_expr_df(df.select(*cols)).select(*cols, *EVENT_COLUMN_NAMES)
+        return parse_expr_df(df.select(*cols)).select(*cols, *out_fields)
     if parser == "pandas":
         ev = make_parse_pandas_udf()(df["text"])
-        return df.select(*cols, ev.alias("_ev")).select(*cols, "_ev.*")
+        return df.select(*cols, ev.alias("_ev")).select(
+            *cols, *[f"_ev.{f}" for f in out_fields]
+        )
     if parser == "arrow":
         from pyspark.sql import types as T
 
@@ -61,7 +75,10 @@ def parse_transcripts(df: DataFrame, parser: str = "arrow") -> DataFrame:
         narrowed = df.select(*cols)
         out_schema = T.StructType(
             [narrowed.schema[c] for c in cols]
-            + [T.StructField(n, t, True) for n, t in EVENT_FIELDS]
+            + [T.StructField(n, t, True) for n, t in EVENT_FIELDS if n in out_fields]
         )
-        return narrowed.mapInArrow(make_map_in_arrow_fn(cols), schema=out_schema)
+        return narrowed.mapInArrow(
+            make_map_in_arrow_fn(cols, None if fields is None else out_fields),
+            schema=out_schema,
+        )
     raise ValueError(f"unknown parser {parser!r} (want 'arrow', 'pandas' or 'expr')")

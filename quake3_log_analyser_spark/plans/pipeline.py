@@ -58,23 +58,35 @@ def summarize_matches(
     if "kills" not in ops:
         raise ValueError("the 'kills' op is mandatory (as in the reference menu)")
 
+    FOLD_FIELDS = [
+        "event_type", "client_id", "name", "killer_id", "victim_id",
+        "killer_name", "victim_name", "reason_name", "frags",
+    ]
     if "player_resolutions" in ops:
-        parsed = parse_transcripts(transcripts, parser=parser)
-        # no pre-filter: the fold ignores dropped event types itself, and a
-        # filter here would be pushed through the staged parse projections
-        # (see operators.translate.domain_filter)
-        domain = translate(parsed, with_filter=False)
+        parsed = parse_transcripts(transcripts, parser=parser, fields=FOLD_FIELDS)
+        # the Python parsers (arrow/pandas) are pushdown barriers, so the
+        # domain filter is safe above them and trims ~40% of the rows the
+        # fold would otherwise shuffle; the expr parser is NOT a barrier
+        # (see operators.translate.domain_filter) — skip the filter there
+        domain = translate(parsed, with_filter=(parser != "expr"))
         return summarize_extended(domain, ops, stop_on_violations)
 
     # dropped event types don't affect match state, and summarize filters
     # to Kill/Score rows above the window — no separate translate filter
+    agg_fields = ["killer_name", "victim_name"]
+    if "means_of_death" in ops:
+        agg_fields.append("reason_name")
+    if "reported_scores" in ops:
+        agg_fields += ["name", "frags"]
     if session_first:
         raw_sess = sessionize_raw(
             transcripts.select("conv_id", "turn_idx", "text")
         )
-        sessionized = parse_transcripts(raw_sess, parser=parser)
+        sessionized = parse_transcripts(raw_sess, parser=parser, fields=agg_fields)
     else:
-        sessionized = sessionize(parse_transcripts(transcripts, parser=parser))
+        sessionized = sessionize(
+            parse_transcripts(transcripts, parser=parser, fields=agg_fields)
+        )
     out = summarize_kills_only(sessionized)
     if "means_of_death" in ops:
         means = means_of_death_hist(sessionized)

