@@ -482,7 +482,14 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast join + grouped agg + top-k (rank window)."""
+    """Broadcast join + grouped agg + top-k.
+
+    Top-k is ``orderBy(...).limit(k)`` — Spark plans this as a distributed
+    TakeOrderedAndProject (per-partition heaps + driver merge), NOT a global
+    rank window that would funnel every aggregate through one task; the rank
+    is derived afterwards over the k surviving rows (partitioned on a
+    constant: the input is provably <= k rows at that point).
+    """
     from pyspark.sql import Window
 
     orders = _table(spark, sf_dir, "orders")
@@ -492,10 +499,10 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("c_custkey", "c_name", "revenue", "n_orders", "rnk")
     )
 
@@ -744,29 +751,143 @@ WHERE query_id != neighbor_id AND round(list_cosine_similarity(qv, cv), 3) >= 0.
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine (rank windows; rows-only driver check — ranking
-    ties under double ulps make a cross-engine hash brittle)."""
-    from quake3_log_analyser_spark.operators.ann import cosine_topk
+    """Exact top-k cosine neighbors, rank on ROUNDED cosine (6 dp) with a
+    neighbor_id tiebreak — cross-engine double ulps (~1e-15) cannot flip a
+    1e-6 rounding boundary, so the ranking hashes stably against DuckDB."""
+    from pyspark.sql import Window
+    from quake3_log_analyser_spark.operators.ann import with_cosine
 
     emb = _table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    as_double = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = F.broadcast(
+        as_double.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = as_double.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = with_cosine(
+        q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")), "qv", "cv"
+    ).withColumn("cosine_r", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id", F.col("cosine_r").alias("cosine"), "rnk")
+    )
+
+
+_ORACLE_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 10
+"""
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 has no DuckDB twin ->
-    rows-only driver check; recall vs exact Jaccard asserted in pytest)."""
+    """MinHash+LSH near-dup pairs.  The md5-based ``minhash_hash`` and the
+    slice-string band buckets make the ENTIRE pipeline — signatures, band
+    buckets, candidate set, exact-Jaccard verify — reproducible in DuckDB,
+    so the oracle checks the LSH itself, not just a recall bound."""
     from quake3_log_analyser_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.6)
+    pairs = minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.6)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+    """DuckDB twin of minhash_lsh_pairs(n=1): same md5 hashes, same band
+    buckets, same exact-Jaccard verify."""
+    rows = n_hashes // bands
+    sig_exprs = ",\n    ".join(
+        "list_min(list_transform(grams, g -> "
+        f"('0x' || substr(md5('seed{i}:' || g), 1, 15))::BIGINT)) AS s{i}"
+        for i in range(n_hashes)
+    )
+    band_cases = "\n      ".join(
+        f"WHEN {b} THEN "
+        + " || ',' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM toks
+),
+banded AS (
+  SELECT doc_id, band,
+    CASE band
+      {band_cases}
+    END AS bucket
+  FROM sig, (SELECT unnest(range({bands})) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(ta.grams, tb.grams))::DOUBLE /
+    (len(ta.grams) + len(tb.grams) - len(list_intersect(ta.grams, tb.grams))) AS jaccard
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+"""
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only driver check)."""
+    """SimHash near-dup pairs at Hamming <= 6 (7 derived bands -> recall 1.0
+    by pigeonhole; md5 token hash -> DuckDB-recomputable signatures)."""
     from quake3_log_analyser_spark.operators.dedup import simhash_pairs
 
     docs = _table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=6)
+
+
+# DuckDB twin of the SimHash signature: identical token hash (first 16 md5
+# hex chars), identical bit-majority fold; packed as two 32-bit halves
+# because DuckDB's `<<` overflows at bit 63, with
+# hamming = popcount(xor(lo)) + popcount(xor(hi)).
+_ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, b AS bit, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hashed, range(64) t(b) GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+    SUM(CASE WHEN acc > 0 AND bit < 32 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS lo,
+    SUM(CASE WHEN acc > 0 AND bit >= 32 THEN (1::BIGINT << (bit - 32)) ELSE 0 END)::BIGINT AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+"""
 
 
 _EXTRA_QUERIES = {
@@ -788,7 +909,9 @@ _EXTRA_ORACLES = {
     "jaccard_pairs": _ORACLE_JACCARD,
     "lang_hits": _ORACLE_LANG_HITS,
     "ann_cosine": _ORACLE_ANN,
-    # ann_topk / minhash_lsh / simhash_pairs: deliberately rows-only
+    "ann_topk": _ORACLE_ANN_TOPK,
+    "minhash_lsh": _minhash_oracle_sql(),
+    "simhash_pairs": _ORACLE_SIMHASH,
 }
 
 _BASE_QUERIES = queries

@@ -242,9 +242,40 @@ def parse_text_batch(
         (_and(_eq(event_name, "ClientUserinfoChanged"), pc.invert(pc.coalesce(pc.is_valid(ui_id), FALSE))), "UnparseableNumber"),
         (_eq(event_name, "ClientUserinfoChanged"), "AbsentKey"),
         (_eq(event_name, "Kill"), "UnknownDataFormat"),
-        (_and(_eq(event_name, "red"), pc.invert(red_fmt_ok)), "UnknownDataFormat"),
+        # red/score error precedence mirrors the reference's sequential `?`
+        # operators (deserializer_logs.rs:128-150): first-space split ->
+        # UnknownDataFormat, first number -> UnparseableNumber, second split
+        # -> UnknownDataFormat, second number -> UnparseableNumber
+        (
+            _and(_eq(event_name, "red"),
+                 pc.invert(pc.coalesce(pc.equal(rlen, 2), FALSE))),
+            "UnknownDataFormat",
+        ),
+        (_and(_eq(event_name, "red"), pc.invert(pc.is_valid(red_v))),
+         "UnparseableNumber"),
+        (
+            _and(_eq(event_name, "red"),
+                 pc.invert(pc.coalesce(pc.greater_equal(blen, 2), FALSE))),
+            "UnknownDataFormat",
+        ),
         (_eq(event_name, "red"), "UnparseableNumber"),
-        (_and(_eq(event_name, "score"), pc.invert(score_fmt_ok)), "UnknownDataFormat"),
+        (
+            _and(_eq(event_name, "score"),
+                 pc.invert(pc.coalesce(pc.equal(rlen, 2), FALSE))),
+            "UnknownDataFormat",
+        ),
+        (_and(_eq(event_name, "score"), pc.invert(pc.is_valid(s_frags))),
+         "UnparseableNumber"),
+        (
+            _and(
+                _eq(event_name, "score"),
+                pc.or_(
+                    pc.invert(pc.coalesce(pc.greater_equal(cvlen, 3), FALSE)),
+                    pc.invert(pc.coalesce(pc.equal(scv_len, 2), FALSE)),
+                ),
+            ),
+            "UnknownDataFormat",
+        ),
         (_eq(event_name, "score"), "UnparseableNumber"),
         (pa.repeat(pa.scalar(True), n), "UnknownEventName"),
     ]

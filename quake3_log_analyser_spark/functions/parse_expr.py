@@ -105,7 +105,9 @@ _TMP = [
 
 def parse_expr_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the typed event columns (EVENT_COLUMN_NAMES) to ``df``."""
-    text = F.col(text_col)
+    # NULL text behaves like the empty string (EmptyLine), matching the
+    # arrow/pandas parsers — TRANSCRIPT_SCHEMA allows nullable text
+    text = F.coalesce(F.col(text_col), F.lit(""))
 
     # stage 1: line splitting -------------------------------------------------
     df = df.withColumn("_stripped", F.regexp_replace(text, r"^ +", ""))
@@ -281,13 +283,36 @@ def parse_expr_df(df: DataFrame, text_col: str = "text") -> DataFrame:
             .otherwise("AbsentKey"),
         )
         .when(en == "Kill", "UnknownDataFormat")
+        # red/score error precedence mirrors the reference's sequential `?`
+        # operators (deserializer_logs.rs:128-150): first-space split ->
+        # UnknownDataFormat, first number -> UnparseableNumber, second split
+        # -> UnknownDataFormat, second number -> UnparseableNumber
         .when(
             en == "red",
-            F.when(~red_fmt_ok, "UnknownDataFormat").otherwise("UnparseableNumber"),
+            F.when(
+                ~F.coalesce(F.size("_rparts") == 2, F.lit(False)),
+                "UnknownDataFormat",
+            )
+            .when(red_val.isNull(), "UnparseableNumber")
+            .when(
+                ~F.coalesce(F.size("_blue_items") >= 2, F.lit(False)),
+                "UnknownDataFormat",
+            )
+            .otherwise("UnparseableNumber"),
         )
         .when(
             en == "score",
-            F.when(~score_fmt_ok, "UnknownDataFormat").otherwise("UnparseableNumber"),
+            F.when(
+                ~F.coalesce(F.size("_rparts") == 2, F.lit(False)),
+                "UnknownDataFormat",
+            )
+            .when(s_frags.isNull(), "UnparseableNumber")
+            .when(
+                F.col("_s_cv").isNull()
+                | ~F.coalesce(F.size("_scv") == 2, F.lit(False)),
+                "UnknownDataFormat",
+            )
+            .otherwise("UnparseableNumber"),
         )
         .otherwise("UnknownEventName")
     )

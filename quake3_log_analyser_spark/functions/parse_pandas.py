@@ -202,13 +202,15 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         out.loc[ok, "event_type"] = "CaptureTheFlagResults"
         out.loc[ok, "red"] = red_v[ok_local]
         out.loc[ok, "blue"] = blue_v[ok_local]
-        bad_fmt_l = ~(fmt_ok & blue_fmt_ok)
-        badf = _submask(m, bad_fmt_l)
+        # precedence mirrors the reference's sequential `?` operators
+        # (deserializer_logs.rs:128-137): split -> UDF, red number -> UPN,
+        # blue split -> UDF, blue number -> UPN
+        badf = _submask(m, (~fmt_ok | (fmt_ok & red_v.notna() & ~blue_fmt_ok)).to_numpy())
         set_err(badf, "UnknownDataFormat", "event 'red': UnknownDataFormat: '" + data + "'")
-        badr = _submask(m, ~bad_fmt_l.to_numpy() & red_v.isna().to_numpy())
+        badr = _submask(m, (fmt_ok & red_v.isna()).to_numpy())
         set_err(badr, "UnparseableNumber",
                 "event 'red': UnparseableNumber { key_name: \"red score\", observed_data: \"" + data + "\" }")
-        badb = _submask(m, ~bad_fmt_l.to_numpy() & red_v.notna().to_numpy() & blue_v.isna().to_numpy())
+        badb = _submask(m, (fmt_ok & red_v.notna() & blue_fmt_ok & blue_v.isna()).to_numpy())
         set_err(badb, "UnparseableNumber",
                 "event 'red': UnparseableNumber { key_name: \"blue score\", observed_data: \"" + data + "\" }")
 
@@ -229,13 +231,14 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         out.loc[ok, "frags"] = frags_v[ok_local]
         out.loc[ok, "client_id"] = cid[ok_local]
         out.loc[ok, "name"] = cvp[2][ok_local]
-        bad_fmt_l = ~(fmt_ok & cv_ok)
-        badf = _submask(m, bad_fmt_l)
+        # precedence mirrors the reference (deserializer_logs.rs:138-150):
+        # split -> UDF, frags -> UPN, client split(s) -> UDF, client id -> UPN
+        badf = _submask(m, (~fmt_ok | (fmt_ok & frags_v.notna() & ~cv_ok)).to_numpy())
         set_err(badf, "UnknownDataFormat", "event 'score': UnknownDataFormat: '" + data + "'")
-        badfr = _submask(m, ~bad_fmt_l.to_numpy() & frags_v.isna().to_numpy())
+        badfr = _submask(m, (fmt_ok & frags_v.isna()).to_numpy())
         set_err(badfr, "UnparseableNumber",
                 "event 'score': UnparseableNumber { key_name: \"frags\", observed_data: \"" + data + "\" }")
-        badc = _submask(m, ~bad_fmt_l.to_numpy() & frags_v.notna().to_numpy() & cid.isna().to_numpy())
+        badc = _submask(m, (fmt_ok & frags_v.notna() & cv_ok & cid.isna()).to_numpy())
         set_err(badc, "UnparseableNumber",
                 "event 'score': UnparseableNumber { key_name: \"client_id\", observed_data: \"" + data + "\" }")
 

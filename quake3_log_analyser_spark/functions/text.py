@@ -131,19 +131,34 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: per seed, min over xxhash64(seed ++ shingle).
+def minhash_hash(shingle: Column, seed: int) -> Column:
+    """Per-seed shingle hash: first 15 hex chars (60 bits) of
+    ``md5('seed<i>:' ++ shingle)`` as a long.
 
-    Empty shingle sets get a sentinel signature that never collides.
+    md5 (not xxhash64) so an external SQL engine can recompute the exact
+    signature — DuckDB twin:
+    ``('0x' || substr(md5('seed<i>:' || s), 1, 15))::BIGINT``.
+    60 bits keeps the value inside int64 on both engines.
     """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"seed{seed}:"), shingle)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: per seed, min over ``minhash_hash(shingle, seed)``.
+
+    Empty shingle sets get a NULL signature that never collides.
+
+    NB: the per-seed lambda MUST take exactly one parameter (see ``_hits``):
+    a ``lambda s, i=i:`` two-param form silently receives the ELEMENT INDEX
+    as ``i``, destroying the per-seed independence of the hash family.
+    """
+
+    def _seeded(i: int):
+        return lambda s: minhash_hash(s, i)
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))
-                )
-            )
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, _seeded(i))) for i in range(n_hashes)]
     )
     return F.when(F.size(shingles) > 0, sig)

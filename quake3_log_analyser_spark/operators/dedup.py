@@ -53,13 +53,22 @@ def jaccard_pairs(
     n: int = 1,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Near-dup pairs by word n-gram Jaccard.
+    """Near-dup pairs by word n-gram Jaccard — the ORACLE-VERIFY BASELINE.
 
-    Candidates are restricted to same token-count bucket (|a| and |b| within
-    ~2x of each other is implied by J >= 0.5); the exact intersect/union
-    check runs only inside buckets.  n=1 is unigram Jaccard (oracle-checked
-    in DuckDB); n=3 the classic shingle variant.
+    Candidates are restricted to the same/adjacent log2 size bucket, which
+    is complete only for ``threshold >= 0.5`` (J >= t forces |a|/|b| within
+    [t, 1/t] ⊆ [0.5, 2]); lower thresholds raise ValueError.  Within one
+    bucket the join is all-pairs, i.e. O(n²) for uniform-length corpora —
+    correct but NOT the 100 TB path.  Production near-dup should use
+    ``minhash_lsh_pairs`` (bucketed, never all-pairs); this operator exists
+    as the exact baseline the LSH recall is measured against.
     """
+    if threshold < 0.5:
+        raise ValueError(
+            f"jaccard_pairs requires threshold >= 0.5 (got {threshold}): the "
+            "±1 log2-size-bucket probe is only complete above 0.5 — use "
+            "minhash_lsh_pairs for lower thresholds"
+        )
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         (
@@ -119,6 +128,15 @@ def minhash_lsh_pairs(
     any band bucket become candidates (collision prob 1-(1-J^r)^b); the
     final Jaccard check removes false positives.  This is the strategy that
     scales: no pairwise work outside shared buckets.
+
+    The band bucket key is the band's signature values joined as a string
+    (NOT a re-hash of the slice): buckets collide exactly when the slices
+    are equal, which makes the whole pipeline reproducible in the DuckDB
+    oracle (md5-based ``minhash_hash``) — and removes re-hash collisions as
+    a (tiny) false-candidate source.  At 10^12-row scale the wider key
+    costs a few bytes per shuffle row; swap in ``F.xxhash64(key)`` if that
+    ever dominates (the only effect is extra candidates that the exact
+    verify removes).
     """
     rows = n_hashes // bands
     shingled = df.select(
@@ -133,7 +151,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -168,26 +192,32 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (Arrow pandas UDF, numpy bit-fold)."""
+    """64-bit SimHash per document (Arrow pandas UDF, numpy bit-fold).
+
+    Token hash = first 8 md5 bytes (``hash_token``) so an external SQL
+    engine (the DuckDB oracle) can recompute the identical signature;
+    documents with zero whitespace tokens get a NULL signature (and are
+    therefore never near-dup candidates), matching the oracle's
+    ``length(trim(text)) > 0`` domain.
+    """
 
     @F.pandas_udf("long")
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts.fillna(""):
             toks = t.lower().split()
             if not toks:
+                out.append(None)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.int64(np.uint64(hash_token(tok)))
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
+            hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             sig = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+            for b in np.nonzero(acc > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out.append(int(np.int64(sig)))
+        return pd.Series(out, dtype="Int64")
 
     return df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
@@ -195,19 +225,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def hash_token(tok: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for ch in tok.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit token hash: first 8 bytes of md5, big-endian.
+
+    md5 (not FNV/xxhash) so the DuckDB oracle can recompute it:
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``.
+    """
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+
+
+def _band_chunks(n_bands: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_bands`` contiguous (shift, width) chunks,
+    widths as even as possible."""
+    base, extra = divmod(64, n_bands)
+    chunks, shift = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        chunks.append((shift, width))
+        shift += width
+    return chunks
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
-    """Hamming-close SimHash pairs via 4-band exact-match blocking
-    (a pair within distance 3 must agree exactly on at least one of four
-    16-bit bands — pigeonhole)."""
-    sig = simhash(df, text_col, id_col)
+    """Hamming-close SimHash pairs via banded exact-match blocking.
+
+    The band count is DERIVED from ``max_hamming``: with ``max_hamming + 1``
+    bands, a pair within the distance bound has fewer differing bits than
+    bands, so at least one band matches exactly (pigeonhole) — recall is 1.0
+    by construction for any ``max_hamming <= 63``.  Candidate verification
+    is an exact xor+bit_count, so false positives never survive.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    sig = simhash(df, text_col, id_col).filter(F.col("simhash").isNotNull())
     banded = sig.select(
         "doc_id", "simhash",
         F.explode(
@@ -215,11 +268,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b, (shift, width) in enumerate(_band_chunks(n_bands))
                 ]
             )
         ).alias("bb"),

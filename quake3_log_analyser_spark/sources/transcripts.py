@@ -34,12 +34,10 @@ TOOLS = ["bash", "editor", "search", "browser", "none"]
 def load_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     """Load a transcripts table from an Iceberg table name or a file path."""
     if "/" not in path_or_table:
-        try:  # Iceberg / catalog table (jars not in the local test image)
-            return spark.read.table(path_or_table)
-        except Exception:
-            pass
-    if path_or_table.endswith(".parquet") or "parquet" in path_or_table:
-        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path_or_table)
+        # Iceberg / catalog table name (the 100 TB deployment target);
+        # raises if the catalog/jars are absent rather than silently
+        # reading the wrong thing
+        return spark.read.table(path_or_table)
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path_or_table)
 
 

@@ -61,6 +61,20 @@ ERROR_CASES = [
     (r"2:33 ClientUserinfoChanged: _2_ n\Isgalamido\t\1\model\uriel/zael\hmodel\uriel/zael\g_redteam\\g_blueteam\\c1\5\c2\5\hc\100\w\0\l\0\tt\0\tl\0", "UnparseableNumber"),
     # the famous permissive-log line 97 shape: "  26  0:00 ----..."
     (" 26  0:00 ------------------------------------------------------------", "UnknownEventName"),
+    # red/score error PRECEDENCE (reference order, deserializer_logs.rs:128-150):
+    # first-space split -> UnknownDataFormat, first number -> UnparseableNumber,
+    # second split -> UnknownDataFormat, second number -> UnparseableNumber
+    ("10:12 red:8", "UnknownDataFormat"),            # no space in data
+    ("10:12 red:x blue:6", "UnparseableNumber"),     # red value bad
+    ("10:12 red:x y", "UnparseableNumber"),          # red bad AND blue split bad -> red first
+    ("10:12 red:8 blue6", "UnknownDataFormat"),      # blue split (no ':') fails
+    ("10:12 red:8 blue:x", "UnparseableNumber"),     # blue value bad
+    ("10:12 score: 77", "UnknownDataFormat"),        # no space in data
+    ("10:12 score: xx  ping: 3  client: 2 Foo", "UnparseableNumber"),  # frags bad
+    ("10:12 score: x y", "UnparseableNumber"),       # frags bad AND client split bad -> frags first
+    ("10:12 score: 77 ping 3 client 2", "UnknownDataFormat"),   # no ': '-split client values
+    ("10:12 score: 77  ping: 3  client: 2", "UnknownDataFormat"),  # client id/name split fails
+    ("10:12 score: 77  ping: 3  client: 2x Foo", "UnparseableNumber"),  # client id bad
 ]
 
 ALL_LINES = [c[0] for c in VALID_CASES] + [c[0] for c in ERROR_CASES]
@@ -119,7 +133,9 @@ class TestExprParser:
 
 
 def test_parsers_agree_on_reference_fixtures(spark):
-    """Both parsers must produce identical columns on every fixture line."""
+    """All THREE parsers (expr / pandas / arrow) must produce identical
+    typed columns on every fixture line — including a NULL text row, which
+    every parser must treat as the empty string (EmptyLine)."""
     from tests.conftest import FIXTURES_BLL, FIXTURES_DAL, fixture_lines
 
     lines: list[str] = []
@@ -134,6 +150,7 @@ def test_parsers_agree_on_reference_fixtures(spark):
     if not lines:
         pytest.skip("reference fixtures unavailable")
     lines.extend(ALL_LINES)
+    lines.append(None)  # schema-legal NULL text
 
     df = spark.createDataFrame(
         [(i, l) for i, l in enumerate(lines)], "idx int, text string"
@@ -142,19 +159,35 @@ def test_parsers_agree_on_reference_fixtures(spark):
             "victim_id", "reason_id", "killer_name", "victim_name",
             "reason_name", "frags", "frag_limit", "capture_limit",
             "time_limit_min", "red", "blue"]
+
+    def normalize(v):
+        if v is None or (not isinstance(v, str) and pd.isna(v)):
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        return v
+
     expr_out = parse_expr_df(df).select("idx", *cols).orderBy("idx").collect()
     pd_out = parse_lines_pd(pd.Series(lines))
+
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+
+    arrow_rows = (
+        parse_transcripts(df, parser="arrow")
+        .select("idx", *cols)
+        .orderBy("idx")
+        .collect()
+    )
+
     mismatches = []
     for i, row in enumerate(expr_out):
         r = row.asDict()
+        a_row = arrow_rows[i].asDict()
         p = pd_out.iloc[i]
-        for col in r:
-            if col == "idx":
-                continue
-            a, b = r[col], p[col]
-            b = None if pd.isna(b) else (int(b) if isinstance(b, (int,)) or hasattr(b, "item") and not isinstance(b, str) else b)
-            if hasattr(b, "item"):
-                b = b.item()
-            if a != b:
-                mismatches.append((i, lines[i], col, a, b))
+        for col in cols:
+            e, b, a = r[col], normalize(p[col]), normalize(a_row[col])
+            if not (e == b == a):
+                mismatches.append((i, lines[i], col, {"expr": e, "pandas": b, "arrow": a}))
     assert not mismatches, f"{len(mismatches)} mismatches, first 5: {mismatches[:5]}"
+    null_row = expr_out[len(lines) - 1]
+    assert null_row["parse_error_kind"] == "EmptyLine"

@@ -83,6 +83,45 @@ def test_simhash_near_dups(spark, docs):
         assert (i, i + 10000) in got, "identical docs share the simhash"
 
 
+def test_simhash_banding_recall_is_total(spark, docs):
+    """Blocking must find EVERY pair within max_hamming (pigeonhole over
+    max_hamming+1 derived bands) — compared against brute-force xor."""
+    from quake3_log_analyser_spark.operators.dedup import simhash, simhash_pairs
+
+    small = docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") >= 10000))
+    sig = simhash(small).filter(F.col("simhash").isNotNull())
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(small, max_hamming=6).collect()
+    }
+    assert blocked == brute
+
+    with pytest.raises(ValueError):
+        simhash_pairs(small, max_hamming=64)
+
+
+def test_jaccard_threshold_guard(spark, docs):
+    """Thresholds below 0.5 break the log2-bucket completeness -> rejected."""
+    from quake3_log_analyser_spark.operators.dedup import jaccard_pairs
+
+    with pytest.raises(ValueError, match="threshold >= 0.5"):
+        jaccard_pairs(docs, threshold=0.4)
+
+
 def test_ann_bruteforce_topk(spark, emb):
     from quake3_log_analyser_spark.operators.ann import cosine_topk
 
