@@ -57,25 +57,47 @@ def frag_attribution(kills: DataFrame) -> DataFrame:
     )
 
 
+def _summary_null(field: str):
+    return F.lit(None).cast(MATCH_SUMMARY_SCHEMA[field].dataType)
+
+
 def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
     """Summaries under the Kills-only config (basic CLI default).
 
-    Matches the reference exactly for streams without client events:
-    ``total_kills`` counts every Kill (world kills included,
-    summary_logic.rs:372/:382), ``players`` is the set of frag-event names,
-    ``kills`` the signed per-name sum — and only matches that saw an
-    effective ShutdownGame emit a row (:397-403).
+    Matches the reference exactly: ``total_kills`` counts every Kill (world
+    kills included, summary_logic.rs:372/:382), ``players`` is the set of
+    frag-event names, ``kills`` the signed per-name sum, only matches that
+    saw an effective ShutdownGame emit a summary row (:397-403) — and
+    DoubleInit / GameNotStarted event-model violations emit error rows
+    (``Event #n: violated the event model: ...``, :96-124/:405-406), the
+    same output contract as the ``summarize_extended`` fold path.
     """
-    # ONE pass over the sessionized stream: kill rows and match-control
-    # rows flow through the SAME two-level aggregation (control rows carry
-    # frag_name = null), so the upstream parse+window DAG is scanned once —
-    # a branch-and-join formulation re-computes it per branch.
+    # ONE pass over the sessionized stream: kill rows, match-control rows
+    # AND violation rows flow through the SAME two-level aggregation
+    # (violations are collected per match and exploded alongside the
+    # summary row), so the upstream parse+window DAG is scanned once — a
+    # branch-and-union formulation would re-compute it per branch.
     et = F.col("event_type")
-    is_kill = (et == "Kill") & F.col("in_game")
+    in_game = F.col("in_game")
+    # the compose() violations, re-derived from the sessionize columns:
+    # InitGame that did not start a match was a DoubleInit; Exit/Shutdown
+    # outside a game (no in_game state, no effective end) is GameNotStarted
+    violation = (
+        F.when((et == "InitGame") & ~F.col("is_match_start"), "DoubleInit")
+        .when((et == "Exit") & ~in_game, "GameNotStarted")
+        .when(
+            (et == "ShutdownGame") & ~in_game & ~F.col("is_match_end"),
+            "GameNotStarted",
+        )
+    )
+    is_kill = (et == "Kill") & in_game
     relevant = sessionized.filter(
-        (F.col("match_id") > 0)
-        & (F.col("in_game") | F.col("is_match_end"))
-        & et.isin("Kill", "Exit", "ShutdownGame")
+        (
+            et.isin("Kill", "Exit", "ShutdownGame")
+            & (F.col("match_id") > 0)
+            & (in_game | F.col("is_match_end"))
+        )
+        | violation.isNotNull()
     )
     is_world = F.col("killer_name") == WORLD
     keyed = relevant.select(
@@ -89,13 +111,20 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
             "frag_delta"
         ),
         F.col("is_match_end").alias("completed"),
-        ((et == "Exit") & F.col("in_game")).alias("graceful"),
+        ((et == "Exit") & in_game).alias("graceful"),
+        F.when(
+            violation.isNotNull(),
+            F.struct(
+                F.col("turn_idx").alias("turn_idx"), violation.alias("violation")
+            ),
+        ).alias("violation_entry"),
     )
     per_name = keyed.groupBy("conv_id", "match_id", "frag_name").agg(
         F.sum("frag_delta").cast("long").alias("frags"),
         F.count("frag_delta").alias("n_kills"),
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
+        F.collect_list("violation_entry").alias("violations"),
     )
     kill_entry = F.when(
         F.col("frag_name").isNotNull(),
@@ -109,24 +138,42 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(kill_entry)).alias("kills"),
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
+        F.array_sort(F.flatten(F.collect_list("violations"))).alias("violations"),
     )
-    return per_match.filter(F.col("completed")).select(
-        "conv_id",
-        "match_id",
+    summary_entry = F.struct(
         F.coalesce("total_kills", F.lit(0)).alias("total_kills"),
-        "players",
+        F.col("players").alias("players"),
         F.col("kills").cast(MATCH_SUMMARY_SCHEMA["kills"].dataType).alias("kills"),
-        F.lit(None).cast(MATCH_SUMMARY_SCHEMA["kills_by_means"].dataType).alias(
-            "kills_by_means"
-        ),
-        F.lit(None)
-        .cast(MATCH_SUMMARY_SCHEMA["game_reported_scores"].dataType)
-        .alias("game_reported_scores"),
-        F.lit(None)
-        .cast(MATCH_SUMMARY_SCHEMA["disconnected_players"].dataType)
-        .alias("disconnected_players"),
-        "graceful",
+        _summary_null("kills_by_means").alias("kills_by_means"),
+        _summary_null("game_reported_scores").alias("game_reported_scores"),
+        _summary_null("disconnected_players").alias("disconnected_players"),
+        F.col("graceful").alias("graceful"),
         F.lit(None).cast("string").alias("error"),
+    )
+
+    def _error_entry(v):
+        return F.struct(
+            _summary_null("total_kills").alias("total_kills"),
+            _summary_null("players").alias("players"),
+            _summary_null("kills").alias("kills"),
+            _summary_null("kills_by_means").alias("kills_by_means"),
+            _summary_null("game_reported_scores").alias("game_reported_scores"),
+            _summary_null("disconnected_players").alias("disconnected_players"),
+            F.lit(None).cast("boolean").alias("graceful"),
+            F.format_string(
+                "Event #%d: violated the event model: %s",
+                v["turn_idx"],
+                v["violation"],
+            ).alias("error"),
+        )
+
+    entries = F.concat(F.array(summary_entry), F.transform("violations", _error_entry))
+    return (
+        per_match.select(
+            "conv_id", "match_id", "completed", F.explode(entries).alias("e")
+        )
+        .filter(F.col("completed") | F.col("e.error").isNotNull())
+        .select("conv_id", "match_id", "e.*")
     )
 
 

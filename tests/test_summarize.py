@@ -277,6 +277,53 @@ def test_shutdown_without_game_is_violation(spark):
     assert len(summaries(rows)) == 1
 
 
+def test_kills_only_path_emits_violation_rows_like_the_fold(spark):
+    """The vectorized kills-only path and the exact fold must agree on the
+    FULL output contract — including DoubleInit / GameNotStarted error rows
+    (summary_logic.rs:96-124/:405-406), not just the summaries."""
+    lines = [
+        shutdown(),  # GameNotStarted (#1, match 0)
+        exit_(),     # GameNotStarted (#2, match 0)
+        init_game(),
+        kill(1, 2, 1, "Player1", "Player2", "NONE"),
+        init_game(),  # DoubleInit (#5, match 1)
+        kill(2, 1, 2, "Player2", "Player1", "NONE"),
+        shutdown(),
+        exit_(),     # GameNotStarted (#8, match 1 — after the match ended)
+        init_game(),
+        kill(1022, 2, 1, "<world>", "Player2", "NONE"),
+        # unterminated second match: emits nothing
+    ]
+
+    def common(rows):
+        return sorted(
+            (
+                (
+                    r["conv_id"], r["match_id"], r["total_kills"],
+                    tuple(r["players"] or []),
+                    tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
+                    r["graceful"], r["error"],
+                )
+                for r in rows
+            ),
+            key=str,
+        )
+
+    basic = run(spark, lines, BASIC)
+    fold = run(spark, lines, frozenset({"kills", "player_resolutions"}))
+    assert common(basic) == common(fold)
+    e = errors(basic)
+    assert sorted(r["error"] for r in e) == [
+        "Event #1: violated the event model: GameNotStarted",
+        "Event #2: violated the event model: GameNotStarted",
+        "Event #5: violated the event model: DoubleInit",
+        "Event #8: violated the event model: GameNotStarted",
+    ]
+    assert sorted(r["match_id"] for r in e) == [0, 0, 1, 1]
+    s = summaries(basic)
+    assert len(s) == 1 and s[0]["total_kills"] == 2
+
+
 def test_exit_marks_graceful(spark):
     lines = [init_game(), exit_(), shutdown()]
     rows = run(spark, lines, FULL)
@@ -402,14 +449,22 @@ def test_session_first_equals_parse_first(spark):
     def norm(rows):
         return sorted(
             (
-                r["conv_id"], r["match_id"], r["total_kills"],
-                tuple(r["players"] or []),
-                tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
-                r["graceful"],
-            )
-            for r in rows
+                (
+                    r["conv_id"], r["match_id"], r["total_kills"],
+                    tuple(r["players"] or []),
+                    tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
+                    r["graceful"], r["error"],
+                )
+                for r in rows
+            ),
+            key=str,
         )
 
-    a = norm(summarize_matches(t, ops={"kills"}).collect())
-    b = norm(summarize_matches(t, ops={"kills"}, session_first=True).collect())
-    assert a == b and len(a) == 20
+    a_rows = summarize_matches(t, ops={"kills"}).collect()
+    b_rows = summarize_matches(t, ops={"kills"}, session_first=True).collect()
+    assert norm(a_rows) == norm(b_rows)
+    # 20 summaries + the DoubleInit at event #98 (the exact pair of
+    # warnings the reference documents for this file, app/src/main.rs:44-48)
+    assert len([r for r in a_rows if r["error"] is None]) == 20
+    errs = [r["error"] for r in a_rows if r["error"] is not None]
+    assert errs == ["Event #98: violated the event model: DoubleInit"]
