@@ -24,6 +24,7 @@ model/src/quake3_events.rs:25): a bad row never aborts the pipeline.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.parse_expr import parse_expr_df
 from ..functions.parse_pandas import make_parse_pandas_udf
@@ -82,3 +83,28 @@ def parse_transcripts(
             schema=out_schema,
         )
     raise ValueError(f"unknown parser {parser!r} (want 'arrow', 'pandas' or 'expr')")
+
+def fail_on_feed_errors(parsed: DataFrame) -> DataFrame:
+    """Pedantic feed gate: abort the job on the FIRST in-band parse error.
+
+    The reference's ``--pedantic`` flag sets ``stop_on_feed_errors``
+    (app/src/main.rs:84-85), turning every ``LogParsingError`` fatal.  The
+    distributed analogue: ``raise_error`` folded into ``turn_idx`` (a
+    column every downstream stage consumes, so column pruning can never
+    elide the check) — the first malformed line fails the Spark job with
+    the reference-shaped message instead of flowing to the dead-letter
+    sink.
+    """
+    err = F.col("parse_error_kind").isNotNull()
+    return parsed.withColumn(
+        "turn_idx",
+        F.when(~err, F.col("turn_idx")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "Failed to process event #%d: `LogParsingError`: %s",
+                    F.col("turn_idx"),
+                    F.col("parse_error"),
+                )
+            ).cast("int")
+        ),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.parse import parse_transcripts
+from ..operators.parse import fail_on_feed_errors, parse_transcripts
 from ..operators.sessionize import sessionize, sessionize_raw
 from ..operators.summarize import (
     DEFAULT_EXTENDED_OPS,
@@ -42,6 +42,7 @@ def summarize_matches(
     parser: str = "arrow",
     stop_on_violations: bool = False,
     session_first: bool = False,
+    stop_on_feed_errors: bool = False,
 ) -> DataFrame:
     """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA).
 
@@ -50,6 +51,10 @@ def summarize_matches(
     (conv_id, turn_idx)-sorted source table the window then needs NO
     shuffle and NO sort — the preferred plan at scale.  Results are
     identical either way (asserted in tests).
+
+    ``stop_on_feed_errors=True`` is the reference's ``--pedantic`` feed
+    gate (app/src/main.rs:84-85): the job FAILS on the first malformed
+    line instead of routing it to the dead-letter column.
     """
     ops = frozenset(ops)
     unknown = ops - VALID_OPS
@@ -62,8 +67,17 @@ def summarize_matches(
         "event_type", "client_id", "name", "killer_id", "victim_id",
         "killer_name", "victim_name", "reason_name", "frags",
     ]
+    error_fields = ["parse_error_kind", "parse_error"] if stop_on_feed_errors else []
+
+    def _gate(parsed: DataFrame) -> DataFrame:
+        return fail_on_feed_errors(parsed) if stop_on_feed_errors else parsed
+
     if "player_resolutions" in ops:
-        parsed = parse_transcripts(transcripts, parser=parser, fields=FOLD_FIELDS)
+        parsed = _gate(
+            parse_transcripts(
+                transcripts, parser=parser, fields=FOLD_FIELDS + error_fields
+            )
+        )
         # the Python parsers (arrow/pandas) are pushdown barriers, so the
         # domain filter is safe above them and trims ~40% of the rows the
         # fold would otherwise shuffle; the expr parser is NOT a barrier
@@ -73,7 +87,7 @@ def summarize_matches(
 
     # dropped event types don't affect match state, and summarize filters
     # to Kill/Score rows above the window — no separate translate filter
-    agg_fields = ["killer_name", "victim_name"]
+    agg_fields = ["killer_name", "victim_name"] + error_fields
     if "means_of_death" in ops:
         agg_fields.append("reason_name")
     if "reported_scores" in ops:
@@ -82,10 +96,12 @@ def summarize_matches(
         raw_sess = sessionize_raw(
             transcripts.select("conv_id", "turn_idx", "text")
         )
-        sessionized = parse_transcripts(raw_sess, parser=parser, fields=agg_fields)
+        sessionized = _gate(
+            parse_transcripts(raw_sess, parser=parser, fields=agg_fields)
+        )
     else:
         sessionized = sessionize(
-            parse_transcripts(transcripts, parser=parser, fields=agg_fields)
+            _gate(parse_transcripts(transcripts, parser=parser, fields=agg_fields))
         )
     out = summarize_kills_only(sessionized)
     if "means_of_death" in ops:
