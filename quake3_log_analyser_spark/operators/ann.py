@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,18 +82,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature(vec_col, planes: np.ndarray):
-    """Sign-bit signature of a vector against fixed hyperplanes -> long."""
-    bits = [
-        F.when(_dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1)
-        .otherwise(0)
-        .cast("long")
-        * (2**i)
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Sign-bit signature of a vector against fixed hyperplanes -> long.
+
+    The hyperplane matrix ships to executors INSIDE the Arrow pandas UDF
+    closure (pickled once per worker), then each batch is one
+    ``(batch, dim) @ (dim, n_planes)`` BLAS matmul.  Inlining the matrix as
+    ``n_planes x dim`` plan literals (the naive expression form) blows up
+    Catalyst analysis and codegen at real embedding dims — 768 x 16 would
+    be ~12k literals per query.
+    """
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) >= 0.0
+        weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return _sig(vec_col)
 
 
 def lsh_cosine_topk(

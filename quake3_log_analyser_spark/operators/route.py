@@ -79,21 +79,58 @@ def route(sessionized: DataFrame) -> dict[str, DataFrame]:
     return {name: fn(sessionized) for name, fn in SINKS.items()}
 
 
+def sink_label() -> F.Column:
+    """The routing discriminator: which sink a sessionized row lands in
+    (NULL = dropped type, e.g. Comment/Item/Say/Begin/CTF).  The branches
+    are mutually exclusive — error rows have no event_type and vice versa."""
+    et = F.col("event_type")
+    return (
+        F.when(F.col("parse_error_kind").isNotNull(), "errors")
+        .when(et == "Kill", "kills")
+        .when(
+            et.isin("ClientConnect", "ClientUserinfoChanged", "ClientDisconnect"),
+            "client_events",
+        )
+        .when(et == "Score", "scores")
+        .when(et.isin("InitGame", "Exit", "ShutdownGame"), "match_control")
+    )
+
+
+# union of every sink's columns — the single-pass write carries them all
+# (absent fields are NULL, which parquet RLE-encodes to ~nothing); per-sink
+# readers project their schema and parquet column pruning skips the rest
+ROUTED_COLUMNS = [
+    "conv_id", "turn_idx", "match_id", "event_type", "client_id", "name",
+    "killer_id", "victim_id", "reason_id", "killer_name", "victim_name",
+    "reason_name", "frags", "frag_limit", "capture_limit", "time_limit_min",
+    "is_match_start", "is_match_end", "violation",
+    "parse_error_kind", "parse_error", "text", "ts",
+]
+
+
 def write_sinks(
     sessionized: DataFrame, base_path: str, mode: str = "overwrite"
 ) -> dict[str, str]:
-    """Materialize every sink under ``base_path/<sink>``; returns paths.
+    """Materialize every sink in ONE ``partitionBy(sink)`` pass; returns
+    per-sink paths (``base_path/sink=<name>``).
 
-    The input is persisted for the duration so the parse+sessionize work
-    is paid once across the five writes, then unpersisted.
+    One source scan, one write job — no full-frame ``persist`` (at 100 TB
+    a persist of the sessionized stream is a memory/disk cliff) and no
+    re-computation per sink.  On Iceberg deployments the same shape is one
+    table partitioned by ``(sink, bucket(conv_id), day(ts))``.
     """
-    sessionized = sessionized.persist()
-    paths = {}
-    try:
-        for name, df in route(sessionized).items():
-            path = f"{base_path}/{name}"
-            df.write.mode(mode).parquet(path)
-            paths[name] = path
-    finally:
-        sessionized.unpersist()
-    return paths
+    labeled = sessionized.withColumn("sink", sink_label()).filter(
+        F.col("sink").isNotNull()
+    )
+    labeled.select(*ROUTED_COLUMNS, "sink").write.mode(mode).partitionBy(
+        "sink"
+    ).parquet(base_path)
+    # a sink with zero rows gets no partition directory — return only the
+    # sinks that materialized (readers of an absent path would throw)
+    import os
+
+    return {
+        name: f"{base_path}/sink={name}"
+        for name in SINKS
+        if os.path.isdir(f"{base_path.removeprefix('file:')}/sink={name}")
+    }

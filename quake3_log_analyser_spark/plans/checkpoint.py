@@ -3,27 +3,34 @@
 The reference is a one-shot CLI with no restart story; at 10^12-turn scale
 a run must be resumable and auditable.  Design:
 
-* **Work units** are source partitions (or conv_id bucket ranges).  A run
-  processes only units absent from the checkpoint table, so re-running
-  after a failure never double-writes (idempotent resume; on Iceberg this
-  is snapshot-based — `snapshot-id` recorded per commit and the job
-  restarts from the last committed snapshot).
+* **Work units** are ``conv_id``-hash buckets.  A run processes only units
+  absent from the checkpoint table — in ONE job: the pending units are a
+  pushed-down filter on the source scan, the summaries write is a dynamic
+  ``partitionBy(convhash)`` overwrite (re-running a unit replaces exactly
+  its partition, so re-runs never double-write), and per-unit metrics ride
+  the SAME pass via ``df.observe`` (a CollectMetrics node between
+  sessionize and the aggregation — zero extra scans, the ``--debug`` tap
+  of dal/src/sync_reader.rs:62-67 made distributed).
 * **Lineage + metrics**: one checkpoint row per (run_id, unit) with input
-  rows, parse errors, matches completed, and wall time — written AFTER the
-  unit's sink writes commit (write-ahead ordering: sinks first, then the
-  checkpoint row; a crash between the two re-processes one unit into an
-  overwritten partition directory, which is idempotent).
+  rows, parse errors, matches completed, and wall time — appended AFTER
+  the partitioned write commits (write-ahead ordering: sinks first, then
+  the checkpoint rows; a crash between the two re-processes those units
+  into overwritten partitions, which is idempotent).
+* On Iceberg the same logic rides snapshot commits: the write is one
+  atomic snapshot, the checkpoint append a second, and restart reads the
+  last committed snapshot.
 
-Local implementation uses a parquet checkpoint table + per-unit
-``partitionBy`` overwrite (dynamic partition overwrite keeps reruns
-idempotent); the Iceberg variant is the same logic over snapshot commits.
+Scale note: n_units bounds the observe expression count (3 per unit) and
+the partition count of the output — hundreds are fine, and each pending
+unit costs ZERO extra source scans (contrast: the round-1 design ran one
+full-scan job per unit).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,6 +55,32 @@ def committed_units(spark: SparkSession, checkpoint_path: str) -> set[str]:
         return set()
 
 
+def commit_units(
+    spark: SparkSession,
+    checkpoint_path: str,
+    run_id: str,
+    metrics_by_unit: dict[str, dict],
+) -> None:
+    """Append one lineage/metrics row per unit (one atomic-ish write)."""
+    rows = [
+        (
+            run_id,
+            unit,
+            int(m.get("n_input_rows", 0)),
+            int(m.get("n_parse_errors", 0)),
+            int(m.get("n_matches", 0)),
+            float(m.get("wall_sec", 0.0)),
+        )
+        for unit, m in metrics_by_unit.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "run_id string, unit string, n_input_rows long, n_parse_errors long, "
+        "n_matches long, wall_sec double",
+    ).withColumn("committed_at", F.current_timestamp())
+    df.write.mode("append").parquet(checkpoint_path)
+
+
 def commit_unit(
     spark: SparkSession,
     checkpoint_path: str,
@@ -55,22 +88,7 @@ def commit_unit(
     unit: str,
     metrics: dict,
 ) -> None:
-    row = [
-        (
-            run_id,
-            unit,
-            int(metrics.get("n_input_rows", 0)),
-            int(metrics.get("n_parse_errors", 0)),
-            int(metrics.get("n_matches", 0)),
-            float(metrics.get("wall_sec", 0.0)),
-        )
-    ]
-    df = spark.createDataFrame(
-        row,
-        "run_id string, unit string, n_input_rows long, n_parse_errors long, "
-        "n_matches long, wall_sec double",
-    ).withColumn("committed_at", F.current_timestamp())
-    df.write.mode("append").parquet(checkpoint_path)
+    commit_units(spark, checkpoint_path, run_id, {unit: metrics})
 
 
 def run_resumable(
@@ -81,45 +99,67 @@ def run_resumable(
     run_id: str,
     n_units: int = 16,
 ) -> list[str]:
-    """Process the table in conv_id-hash units, skipping committed ones.
+    """Process the table's uncommitted conv_id-hash units in ONE pass.
 
     Returns the list of units processed in this invocation.  Calling it a
     second time on the same inputs is a no-op (idempotent resume); killing
-    it between units and re-running completes only the remainder.
+    it between the data write and the checkpoint append re-runs only the
+    un-committed units, whose partitions are dynamically overwritten.
     """
     from ..operators.parse import parse_transcripts
     from ..operators.sessionize import sessionize
     from ..operators.summarize import summarize_kills_only
 
     done = committed_units(spark, checkpoint_path)
-    processed = []
-    unit_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_units))
-    for u in range(n_units):
-        unit = f"convhash={u}"
-        if unit in done:
-            continue
-        t0 = time.perf_counter()
-        part = transcripts.filter(unit_col == u)
-        sess = sessionize(parse_transcripts(part)).persist()
-        try:
-            summaries = summarize_kills_only(sess)
-            # per-unit directory => overwrite is idempotent on re-run
-            summaries.write.mode("overwrite").parquet(f"{out_base}/summaries/{unit}")
-            stats = sess.agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.count("parse_error_kind").alias("errs"),
-                F.sum(F.col("is_match_end").cast("long")).alias("matches"),
-            ).collect()[0]
-        finally:
-            sess.unpersist()
-        commit_unit(
-            spark, checkpoint_path, run_id, unit,
-            {
-                "n_input_rows": stats["rows"],
-                "n_parse_errors": stats["errs"],
-                "n_matches": stats["matches"] or 0,
-                "wall_sec": time.perf_counter() - t0,
-            },
-        )
-        processed.append(unit)
-    return processed
+    pending = [u for u in range(n_units) if f"convhash={u}" not in done]
+    if not pending:
+        return []
+
+    t0 = time.perf_counter()
+    unit_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
+    part = transcripts.withColumn("convhash", unit_col).filter(
+        F.col("convhash").isin(pending)
+    )
+    sess = sessionize(parse_transcripts(part))
+
+    obs = Observation("checkpoint_metrics")
+    exprs = []
+    for u in pending:
+        in_u = F.col("convhash") == u
+        exprs += [
+            F.sum(in_u.cast("long")).alias(f"rows_{u}"),
+            F.sum((in_u & F.col("parse_error_kind").isNotNull()).cast("long")).alias(
+                f"errs_{u}"
+            ),
+            F.sum((in_u & F.col("is_match_end")).cast("long")).alias(f"matches_{u}"),
+        ]
+    sess = sess.observe(obs, *exprs)
+
+    # summarize drops the passthrough columns via aggregation; the unit is
+    # a pure function of conv_id, so re-derive it for the partitioned write
+    summaries = summarize_kills_only(sess).withColumn(
+        "convhash", F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
+    )
+    (
+        summaries.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("convhash")
+        .parquet(f"{out_base}/summaries")
+    )
+
+    vals = obs.get  # blocks on the action above; one scan total
+    wall = time.perf_counter() - t0
+    metrics = {
+        f"convhash={u}": {
+            "n_input_rows": vals[f"rows_{u}"] or 0,
+            "n_parse_errors": vals[f"errs_{u}"] or 0,
+            "n_matches": vals[f"matches_{u}"] or 0,
+            # single-pass: per-unit wall time is not separable; record the
+            # job wall on every unit row (the lineage question it answers
+            # is "when/with what run did this unit commit")
+            "wall_sec": wall,
+        }
+        for u in pending
+    }
+    commit_units(spark, checkpoint_path, run_id, metrics)
+    return [f"convhash={u}" for u in pending]

@@ -94,5 +94,28 @@ def test_checkpoint_idempotent_resume(spark, tmp_path):
     done3 = run_resumable(spark, t, out, str(tmp_path / "ckpt2"), "r3", n_units=4)
     assert done3 == ["convhash=1"]
     # summaries output readable and correct after resume
-    total = spark.read.parquet(f"{out}/summaries/*").count()
+    total = spark.read.parquet(f"{out}/summaries").count()
     assert total == 1
+
+
+def test_resumable_run_is_single_pass(spark, tmp_path):
+    """The whole resumable run — pending-unit filter, partitioned summaries
+    write, per-unit observe metrics — must execute as ONE job with ONE
+    source scan (the round-1 design ran n_units full scans)."""
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.sessionize import sessionize
+    from quake3_log_analyser_spark.operators.summarize import summarize_kills_only
+
+    path = FIXTURES_BLL / "discrepant.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "discrepant").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "src"))
+    src = spark.read.parquet(str(tmp_path / "src"))
+
+    unit_col = F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    part = src.withColumn("convhash", unit_col).filter(F.col("convhash").isin([0, 2]))
+    summaries = summarize_kills_only(sessionize(parse_transcripts(part)))
+    plan = summaries._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan

@@ -155,6 +155,25 @@ def test_ann_lsh_recall(spark, emb):
     assert hits >= 3, f"LSH found top-1 for only {hits}/5 queries"
 
 
+def test_lsh_signature_scales_to_real_embedding_dims(spark):
+    """dim=768 hyperplane signatures must not inline the matrix as plan
+    literals (the pre-fix plan carried n_planes*dim ~ 12k literals): the
+    analyzed plan stays small and the query actually executes."""
+    import numpy as np
+
+    from quake3_log_analyser_spark.operators.ann import lsh_cosine_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=768).astype(float).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = lsh_cosine_topk(df, df.filter(F.col("vec_id") < 3), k=5,
+                          dim=768, n_planes=16, bands=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
+    res = out.collect()
+    assert {r["query_id"] for r in res} <= {0, 1, 2} and len(res) > 0
+
+
 def test_embedding_near_dups_on_injected(spark, emb):
     from quake3_log_analyser_spark.operators.ann import embedding_near_dups
 
