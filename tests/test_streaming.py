@@ -72,3 +72,56 @@ def test_streaming_matches_batch(spark, tmp_path):
 
     assert norm(got) == norm(want)
     assert len(got) == 1 and got[0]["total_kills"] == 105
+
+
+def test_rate_source_stdin_analogue(spark, tmp_path):
+    """S2 (stdin source): the reference's stdin reader is an unbounded
+    in-flight source (dal/src/stdin_reader.rs:33-40); the Spark analogue is
+    any unbounded streaming source.  A `rate` stream synthesized into
+    transcript rows flows through the SAME parse + keyed-state pipeline and
+    yields summaries while the stream is live — no file ever exists."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "400")
+        .option("numPartitions", "1")
+        .load()
+    )
+    m = F.col("turn_idx") % 4  # 1-based: 1 Init, 2 Kill, 3 Exit, 0 Shutdown
+    text = (
+        F.when(m == 1, r" 0:00 InitGame: \fraglimit\20")
+        .when(m == 2, " 0:01 Kill: 2 3 7: PlayerA killed PlayerB by MOD_ROCKET_SPLASH")
+        .when(m == 3, " 0:02 Exit: Timelimit hit.")
+        .otherwise(" 0:03 ShutdownGame:")
+    )
+    t = rate.select(
+        F.concat(F.lit("conv-"), (F.col("value") % 3).cast("string")).alias("conv_id"),
+        (F.col("value") / 3 + 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("timestamp").alias("ts"),
+    ).withColumn("text", text)
+
+    out = summarize_matches_stream(t, ops=frozenset({"kills"}))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_summaries")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM rate_summaries").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 3, "no summaries emerged from the unbounded source"
+    for r in rows:
+        assert r["total_kills"] == 1 and r["graceful"] is True
+        assert [k["player"] for k in r["kills"]] == ["PlayerA"]
