@@ -486,12 +486,11 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Top-k is ``orderBy(...).limit(k)`` — Spark plans this as a distributed
     TakeOrderedAndProject (per-partition heaps + driver merge), NOT a global
-    rank window that would funnel every aggregate through one task; the rank
-    is derived afterwards over the k surviving rows (partitioned on a
-    constant: the input is provably <= k rows at that point).
+    rank window that would funnel every aggregate through one task.  The
+    rank over the <= k surviving rows is a count-of-better-rows self-join
+    (a constant-partitioned window still plans as single-partition
+    WindowExec after constant folding and warns).
     """
-    from pyspark.sql import Window
-
     orders = _table(spark, sf_dir, "orders")
     customer = _table(spark, sf_dir, "customer")
     rev = (
@@ -500,10 +499,19 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
     )
     top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col("b.revenue") > F.col("a.revenue")) | (
+        (F.col("b.revenue") == F.col("a.revenue"))
+        & (F.col("b.c_custkey") < F.col("a.c_custkey"))
+    )
     return (
-        top.withColumn("rnk", F.row_number().over(w))
-        .select("c_custkey", "c_name", "revenue", "n_orders", "rnk")
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("a.c_custkey", "a.c_name", "a.revenue", "a.n_orders")
+        .agg((F.count("b.c_custkey") + 1).cast("int").alias("rnk"))
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("revenue"),
+            F.col("n_orders"), F.col("rnk"),
+        )
     )
 
 

@@ -166,14 +166,26 @@ def main() -> None:
         .agg(F.count(F.lit(1))).collect(),
     )
 
+    # distributed JSON reports (exact fold + reference-format renderer,
+    # one grouped-map per conversation)
+    from quake3_log_analyser_spark.operators.translate import translate
+    from quake3_log_analyser_spark.presentation import render_conv_reports
+
+    bench(
+        "json_report",
+        lambda: render_conv_reports(translate(parse_transcripts(transcripts)))
+        .agg(F.count(F.lit(1)), F.sum(F.length("report"))).collect(),
+    )
+
     # fan-out routing (writes all five sinks)
     from quake3_log_analyser_spark.operators.route import write_sinks
 
     sink_dir = str(REPO / "data" / f"sinks_{sf_name}")
+    # warm=True: the first write on this VM can run 3x steady state; the
+    # timed number is the repeatable single-pass partitionBy(sink) write
     bench(
         "route_sinks",
         lambda: write_sinks(sessionize(parse_transcripts(transcripts)), sink_dir),
-        warm=False, reps=1,
     )
 
     # generic engine queries on the sf tables

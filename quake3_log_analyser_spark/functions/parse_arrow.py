@@ -357,6 +357,14 @@ def make_map_in_arrow_fn(passthrough: list[str], fields: list[str] | None = None
     """RecordBatch iterator transform for ``DataFrame.mapInArrow``."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # optional knob: cap pyarrow's per-worker thread pool.  Measured on
+        # this box: the DEFAULT pool wins inside Spark (kernel threads
+        # overlap with IPC deserialization); a 1-thread cap was ~1.5x
+        # slower at 32 workers despite the apparent oversubscription.
+        import os
+
+        if "SPARK_GRAFT_ARROW_THREADS" in os.environ:
+            pa.set_cpu_count(int(os.environ["SPARK_GRAFT_ARROW_THREADS"]))
         for batch in batches:
             cols = parse_text_batch(batch.column("text"), fields)
             arrays = [batch.column(c) for c in passthrough]

@@ -100,45 +100,57 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
         | violation.isNotNull()
     )
     is_world = F.col("killer_name") == WORLD
+    # Violations ride the EXISTING group key as sentinel strings ("\x00" +
+    # the final error text, one singleton group each) so the 16M-row
+    # first-level aggregation keeps only sum/count/max — pure codegen
+    # HashAggregate.  Collecting (turn_idx, violation) structs here instead
+    # demotes the whole level to ObjectHashAggregate: measured 5x slower
+    # end-to-end at 16M turns.  "\x00" cannot appear in player names (the
+    # line grammar never produces it).
+    violation_sentinel = F.concat(
+        F.lit("\x00"),
+        F.format_string(
+            "Event #%d: violated the event model: %s", F.col("turn_idx"), violation
+        ),
+    )
     keyed = relevant.select(
         "conv_id",
         "match_id",
         F.when(
             is_kill,
             F.when(is_world, F.col("victim_name")).otherwise(F.col("killer_name")),
-        ).alias("frag_name"),
+        )
+        .when(violation.isNotNull(), violation_sentinel)
+        .alias("frag_name"),
         F.when(is_kill, F.when(is_world, F.lit(-1)).otherwise(F.lit(1))).alias(
             "frag_delta"
         ),
         F.col("is_match_end").alias("completed"),
         ((et == "Exit") & in_game).alias("graceful"),
-        F.when(
-            violation.isNotNull(),
-            F.struct(
-                F.col("turn_idx").alias("turn_idx"), violation.alias("violation")
-            ),
-        ).alias("violation_entry"),
     )
     per_name = keyed.groupBy("conv_id", "match_id", "frag_name").agg(
         F.sum("frag_delta").cast("long").alias("frags"),
         F.count("frag_delta").alias("n_kills"),
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
-        F.collect_list("violation_entry").alias("violations"),
     )
+    is_sentinel = F.col("frag_name").startswith("\x00")
+    is_player = F.col("frag_name").isNotNull() & ~is_sentinel
     kill_entry = F.when(
-        F.col("frag_name").isNotNull(),
+        is_player,
         F.struct(F.col("frag_name").alias("player"), F.col("frags").alias("frags")),
     )
     per_match = per_name.groupBy("conv_id", "match_id").agg(
-        F.sum("n_kills").alias("total_kills"),
+        F.sum(F.when(~is_sentinel, F.col("n_kills"))).alias("total_kills"),
         F.array_sort(
-            F.collect_list(F.when(F.col("frag_name").isNotNull(), F.col("frag_name")))
+            F.collect_list(F.when(is_player, F.col("frag_name")))
         ).alias("players"),
         F.array_sort(F.collect_list(kill_entry)).alias("kills"),
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
-        F.array_sort(F.flatten(F.collect_list("violations"))).alias("violations"),
+        F.array_sort(
+            F.collect_list(F.when(is_sentinel, F.substring("frag_name", 2, 1 << 20)))
+        ).alias("violations"),
     )
     summary_entry = F.struct(
         F.coalesce("total_kills", F.lit(0)).alias("total_kills"),
@@ -151,7 +163,7 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("error"),
     )
 
-    def _error_entry(v):
+    def _error_entry(err):
         return F.struct(
             _summary_null("total_kills").alias("total_kills"),
             _summary_null("players").alias("players"),
@@ -160,11 +172,7 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
             _summary_null("game_reported_scores").alias("game_reported_scores"),
             _summary_null("disconnected_players").alias("disconnected_players"),
             F.lit(None).cast("boolean").alias("graceful"),
-            F.format_string(
-                "Event #%d: violated the event model: %s",
-                v["turn_idx"],
-                v["violation"],
-            ).alias("error"),
+            err.alias("error"),
         )
 
     entries = F.concat(F.array(summary_entry), F.transform("violations", _error_entry))

@@ -39,7 +39,12 @@ def measure(cpus: int, stage: str, tpath: str, reps: int = 2) -> None:
     from quake3_log_analyser_spark.schemas import TRANSCRIPT_SCHEMA
     from quake3_log_analyser_spark.session import get_spark
 
-    spark = get_spark(f"stage-{stage}", cpus=cpus, shuffle_partitions=cpus)
+    # same hardened protocol as scaling_worker.py: 64 MB splits (>= one
+    # task per core on the many-small-files bench table) and TWO warm runs
+    spark = get_spark(
+        f"stage-{stage}", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024)},
+    )
     t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tpath)
     n_turns = t.count()
 
@@ -64,6 +69,7 @@ def measure(cpus: int, stage: str, tpath: str, reps: int = 2) -> None:
         raise ValueError(stage)
 
     job()  # warm-up: codegen + python workers
+    job()  # second warm-up: this VM needs it before timings stabilize
     best = min(
         (lambda t0=time.perf_counter(): (job(), time.perf_counter() - t0)[1])()
         for _ in range(reps)
