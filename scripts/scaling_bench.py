@@ -10,7 +10,8 @@ The input must be large enough that per-core work dominates fixed startup
 any scaling number is noise), so this harness generates a dedicated
 ~16M-turn table once under data/.
 
-Writes BENCH/BASELINE.md.  Usage:
+Writes BENCH/scaling_run.md (BENCH/BASELINE.md is the curated
+round-level evidence document - do not clobber it).  Usage:
     python scripts/scaling_bench.py [n_cores] [n_turns_millions]
 """
 
@@ -78,8 +79,8 @@ def main():
 
     md = REPO / "BENCH"
     md.mkdir(exist_ok=True)
-    (md / "BASELINE.md").write_text(
-        f"""# BENCH/BASELINE — scaling evidence (local[{n}] vs local[{4*n}])
+    (md / "scaling_run.md").write_text(
+        f"""# BENCH/scaling_run — one N-vs-4N measurement (local[{n}] vs local[{4*n}])
 
 Protocol per BASELINE.md: identical job — parse (Arrow kernels) ->
 sessionize (window) -> per-match aggregate over {report['n_turns']:,}
@@ -107,7 +108,7 @@ Notes:
   aggregations.
 """
     )
-    print(f"wrote {md / 'BASELINE.md'}")
+    print(f"wrote {md / 'scaling_run.md'}")
 
 
 if __name__ == "__main__":
