@@ -898,6 +898,130 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
 """
 
 
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic + BPE-ish token estimate (pre-training filters)."""
+    from quake3_log_analyser_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(t), 4).alias("quality"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+    )
+
+
+_ORACLE_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+    coalesce(list_sum(list_transform(
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0),
+        w -> ceil(length(w) / 4.0)::BIGINT)), 0) AS bpe_words
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    least(n_tok / 20.0, 1.0) * 0.4
+    + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) * 4) * 0.2
+    + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END) * 4) * 0.2
+    + least((CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 4, 1.0) * 0.2,
+  4) AS quality,
+  (bpe_words + n_punct)::BIGINT AS n_bpe_tokens
+FROM t
+"""
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (argmax of per-language stopword hits)."""
+    from quake3_log_analyser_spark.functions.text import lang_guess
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+_ORACLE_LANG_GUESS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','los','del','se'))) AS es,
+    len(list_filter(w, x -> x IN ('der','die','und','das','ist','von','den','mit','für','auf'))) AS de,
+    len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','que','dans','pour'))) AS fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+       WHEN en = greatest(en, es, de, fr) THEN 'en'
+       WHEN es = greatest(en, es, de, fr) THEN 'es'
+       WHEN de = greatest(en, es, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup OUTPUT mapping: removed doc -> kept (min-id) survivor."""
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
+
+    docs = _table(spark, sf_dir, "documents")
+    return dedup_survivors(docs)
+
+
+_ORACLE_DEDUP_SURVIVORS = r"""
+WITH keyed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, MIN(doc_id) AS kept_doc_id FROM keyed GROUP BY fp)
+SELECT k.doc_id, p.kept_doc_id
+FROM keyed k JOIN keep p ON k.fp = p.fp
+WHERE k.doc_id != p.kept_doc_id
+"""
+
+
+def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute force, a < b) — the
+    oracle baseline the LSH ``embedding_near_dups`` recall is measured
+    against in pytest."""
+    from quake3_log_analyser_spark.operators.ann import with_cosine
+
+    emb = _table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = F.broadcast(
+        as_double.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    )
+    b = as_double.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    scored = with_cosine(
+        a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b")), "va", "vb"
+    )
+    return scored.filter(F.round("cosine", 3) >= 0.3).select(
+        "vec_a", "vec_b", F.round("cosine", 3).alias("cosine")
+    )
+
+
+_ORACLE_EMBEDDING_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(a.v, b.v), 3) >= 0.3
+"""
+
+
 _EXTRA_QUERIES = {
     "text_stats": _q_text_stats,
     "fingerprints": _q_fingerprints,
@@ -908,6 +1032,10 @@ _EXTRA_QUERIES = {
     "ann_topk": _q_ann_topk,
     "minhash_lsh": _q_minhash_lsh,
     "simhash_pairs": _q_simhash_pairs,
+    "quality_scores": _q_quality_scores,
+    "lang_guess": _q_lang_guess,
+    "dedup_survivors": _q_dedup_survivors,
+    "embedding_pairs": _q_embedding_pairs,
 }
 
 _EXTRA_ORACLES = {
@@ -920,6 +1048,10 @@ _EXTRA_ORACLES = {
     "ann_topk": _ORACLE_ANN_TOPK,
     "minhash_lsh": _minhash_oracle_sql(),
     "simhash_pairs": _ORACLE_SIMHASH,
+    "quality_scores": _ORACLE_QUALITY,
+    "lang_guess": _ORACLE_LANG_GUESS,
+    "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
+    "embedding_pairs": _ORACLE_EMBEDDING_PAIRS,
 }
 
 _BASE_QUERIES = queries

@@ -46,6 +46,27 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def dedup_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The actual dedup OUTPUT: which doc each exact duplicate collapses to.
+
+    Returns ``(doc_id, kept_doc_id)`` for every REMOVED document (the
+    survivor per fingerprint group is the minimum id — deterministic).
+    Anti-joining this against the corpus yields the deduplicated table;
+    shuffle-by-fingerprint, never all-pairs.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    keepers = keyed.groupBy("fp").agg(F.min("doc_id").alias("kept_doc_id"))
+    return (
+        keyed.join(keepers, "fp")
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select("doc_id", "kept_doc_id")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -41,6 +41,17 @@ def test_exact_dedup_finds_injected_dups(spark, docs):
         assert g["n_docs"] == 3
 
 
+def test_dedup_survivors_maps_removed_to_min_id(spark, docs):
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
+
+    mapping = {r["doc_id"]: r["kept_doc_id"] for r in dedup_survivors(docs).collect()}
+    # both injected variants collapse onto the original (minimum id)
+    for i in range(20):
+        assert mapping[i + 10000] == i
+        assert mapping[i + 20000] == i
+    assert not any(k < 10000 for k in mapping), "originals must survive"
+
+
 def test_jaccard_pairs_finds_fuzzy_dups(spark, docs):
     from quake3_log_analyser_spark.operators.dedup import jaccard_pairs
 
