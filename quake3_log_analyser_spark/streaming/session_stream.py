@@ -137,7 +137,13 @@ def summarize_matches_stream(
     indefinitely, so ``processAllAvailable()``-style draining (tests,
     batch-parity runs) would never return.
     """
-    parsed = parse_transcripts(transcripts_stream, parser="arrow")
+    # narrow BEFORE the Python boundary (mapInArrow blocks pruning) and
+    # parse only the fold's event fields
+    parsed = parse_transcripts(
+        transcripts_stream.select("conv_id", "turn_idx", "text"),
+        parser="arrow",
+        fields=[c for c in FOLD_COLS if c != "turn_idx"],
+    )
     narrowed = parsed.select("conv_id", *FOLD_COLS)
     return narrowed.groupBy("conv_id").applyInPandasWithState(
         make_session_func(ops, stop_on_violations, idle_timeout_ms),

