@@ -1022,6 +1022,117 @@ WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(a.v, b.v), 3) >= 0.3
 """
 
 
+def _lsh_sig_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of operators.ann.lsh_signature: the hyperplane matrix is
+    deterministic (seeded numpy), so its values can be embedded as SQL
+    literals and the sign-bit signature recomputed with list_dot_product.
+    float32 -> float64 promotion is exact in both engines; a sign flip
+    would need |dot| < ~2e-13 (BLAS-vs-sequential summation error), which
+    the random planes make astronomically unlikely."""
+    from quake3_log_analyser_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lits}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs (8 planes, 4 bands) — the ENTIRE LSH
+    pipeline (signatures, band buckets, candidate join, exact-cosine
+    verify) is reproduced in DuckDB, so this is a full driver-checked twin,
+    not just a recall bound.  threshold=-1 keeps every candidate; the
+    oracle-stable rounded filter is applied here (1e-16 ulp disagreement at
+    the threshold cannot survive a 1e-3 rounding boundary)."""
+    from quake3_log_analyser_spark.operators.ann import embedding_near_dups
+
+    emb = _table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pairs = embedding_near_dups(
+        as_double, threshold=-1.0, n_planes=8, bands=4, seed=42
+    )
+    return pairs.filter(F.round("cosine", 3) >= 0.3).select(
+        "doc_a", "doc_b", F.round("cosine", 3).alias("cosine")
+    )
+
+
+def _lsh_near_dups_oracle_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_lsh_sig_sql()} AS s FROM e),
+banded AS (
+  SELECT vec_id, v, band, (s >> (band * 2)) & 3 AS chunk
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+)
+SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+                           AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 3) >= 0.3
+"""
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (queries = vec_id<10).  The function
+    is exercised end-to-end (signature UDF, banding, candidate join,
+    dedupe); the final rank is recomputed on ROUNDED cosine (6 dp) with a
+    neighbor_id tiebreak — same cross-engine float discipline as ann_topk —
+    by asking the function for all candidates (k=10^6) and re-ranking."""
+    from pyspark.sql import Window
+    from quake3_log_analyser_spark.operators.ann import lsh_cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = as_double.filter(F.col("vec_id") < 10)
+    cands = lsh_cosine_topk(
+        as_double, qs, k=1_000_000, n_planes=8, bands=4, seed=42
+    ).withColumn("cosine_r", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 10)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("cosine_r").alias("cosine"),
+            F.col("rnk2").alias("rnk"),
+        )
+    )
+
+
+def _lsh_topk_oracle_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_lsh_sig_sql()} AS s FROM e),
+banded AS (
+  SELECT vec_id, v, band, (s >> (band * 2)) & 3 AS chunk
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM banded q JOIN banded c ON q.band = c.band AND q.chunk = c.chunk
+                             AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+FROM cands QUALIFY rnk <= 10
+"""
+
+
 _EXTRA_QUERIES = {
     "text_stats": _q_text_stats,
     "fingerprints": _q_fingerprints,
@@ -1036,6 +1147,8 @@ _EXTRA_QUERIES = {
     "lang_guess": _q_lang_guess,
     "dedup_survivors": _q_dedup_survivors,
     "embedding_pairs": _q_embedding_pairs,
+    "lsh_near_dups": _q_lsh_near_dups,
+    "lsh_topk": _q_lsh_topk,
 }
 
 _EXTRA_ORACLES = {
@@ -1052,6 +1165,8 @@ _EXTRA_ORACLES = {
     "lang_guess": _ORACLE_LANG_GUESS,
     "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
     "embedding_pairs": _ORACLE_EMBEDDING_PAIRS,
+    "lsh_near_dups": _lsh_near_dups_oracle_sql(),
+    "lsh_topk": _lsh_topk_oracle_sql(),
 }
 
 _BASE_QUERIES = queries

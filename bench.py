@@ -109,16 +109,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def bench(name: str, fn, warm: bool = True, reps: int = 2):
-        if warm:  # one warm-up run so codegen/JIT cost lands outside timing
+    # Measurement protocol (BENCH/BASELINE.md: this VM shows 1.5-2x
+    # run-to-run drift): TWO warm-up runs per query — the first eats
+    # codegen/JIT, the second eats page-cache/JIT tail — then the MEDIAN of
+    # three timed runs.  Median (not best) is robust to a single calm or
+    # contended window, which is what broke round-over-round comparability
+    # in rounds 1-2.
+    WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 2))
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
+
+    def bench(name: str, fn, warm: bool = True, reps: int = REPS):
+        for _ in range(WARMUPS if warm else 0):
             fn()
-        best, result = None, None
+        times, result = [], None
         for _ in range(reps):
             t0 = time.perf_counter()
             result = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
         return result
 
     # headline: parse -> sessionize -> per-match aggregate (kills-only path)
@@ -208,6 +217,7 @@ def main() -> None:
                 "turns_per_sec": turns_per_sec,
                 "n_matches": head["n_matches"],
                 "cpus": CPUS,
+                "protocol": f"{WARMUPS} warmups + median of {REPS}",
             }
         )
     )

@@ -81,25 +81,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(float)
 
 
-def lsh_signature(vec_col, planes: np.ndarray):
+def lsh_signature(vec_col, n_planes: int, seed: int = 42, dim: int | None = None):
     """Sign-bit signature of a vector against fixed hyperplanes -> long.
 
-    The hyperplane matrix ships to executors INSIDE the Arrow pandas UDF
-    closure (pickled once per worker), then each batch is one
-    ``(batch, dim) @ (dim, n_planes)`` BLAS matmul.  Inlining the matrix as
-    ``n_planes x dim`` plan literals (the naive expression form) blows up
-    Catalyst analysis and codegen at real embedding dims — 768 x 16 would
-    be ~12k literals per query.
+    The hyperplanes are derived LAZILY inside the Arrow pandas UDF from
+    ``(n_planes, seed, len(vector))`` — deterministic, so every worker
+    materializes the identical matrix with NO driver-side job to sniff the
+    embedding width (the round-2 ``.first()`` finding) and no plan
+    literals (768 x 16 would be ~12k literals; Catalyst analysis/codegen
+    blows up).  Each batch is one ``(batch, dim) @ (dim, n_planes)`` BLAS
+    matmul.  NULL vectors yield NULL signatures (round-2 ADVICE: the
+    previous form crashed ``np.stack`` on a None in the batch).
     """
+
+    cache: dict[int, np.ndarray] = {}  # per-worker, keyed by embedding dim
 
     @F.pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes.T) >= 0.0
-        weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
-        return pd.Series((bits * weights).sum(axis=1))
+        out = pd.Series([pd.NA] * len(vecs), dtype="Int64", index=vecs.index)
+        mask = np.array(
+            [isinstance(v, (list, np.ndarray)) and len(v) > 0 for v in vecs],
+            dtype=bool,
+        )
+        if not mask.any():
+            return out
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
+        d = dim if dim is not None else mat.shape[1]
+        if d not in cache:
+            cache[d] = _hyperplanes(d, n_planes, seed)
+        bits = (mat @ cache[d].T) >= 0.0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        out[mask] = (bits * weights).sum(axis=1)
+        return out
 
     return _sig(vec_col)
 
@@ -121,14 +134,16 @@ def lsh_cosine_topk(
     if ANY band agrees (multi-probe), then exact cosine reranks.  At scale
     the corpus side is grouped by (band, chunk) — a plain shuffle join on a
     compact key instead of a cross join.
+
+    ``dim`` is optional: when omitted the hyperplanes are derived from the
+    observed vector width inside the signature UDF (no driver-side job —
+    the round-2 ``.first()`` sniff is gone).  Pass it explicitly if the
+    column may mix widths.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
 
     def banded(df, idname):
-        sig = lsh_signature(F.col(vec_col), planes)
+        sig = lsh_signature(F.col(vec_col), n_planes, seed, dim)
         out = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_vec"),
             sig.alias("sig"),
@@ -180,12 +195,15 @@ def embedding_near_dups(
     n_planes: int = 12,
     bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the same LSH blocking."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Embedding-cosine near-duplicate pairs via the same LSH blocking.
+
+    ``dim`` optional as in ``lsh_cosine_topk`` — omitted means the
+    signature UDF derives the hyperplanes from the observed vector width
+    (no driver job)."""
     rows_per_band = n_planes // bands
-    sig = lsh_signature(F.col(vec_col), planes)
+    sig = lsh_signature(F.col(vec_col), n_planes, seed, dim)
     banded = df.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("sig")
     ).select(

@@ -2,11 +2,17 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures over ``mapInPandas`` — is real and tested.  The actual codec
-work is STUBBED (the image/audio libraries are not in this container):
-``decode_image`` raises ``NotImplementedError`` unless
-``fake_decoder=True``, which substitutes a deterministic hash-derived
-"decode" so downstream feature plumbing stays testable end-to-end.
+signatures over ``mapInPandas`` — is real and tested.
+
+``decode_image`` is REAL for two tiers of input:
+  * any PIL-supported format (PNG/JPEG/…) when Pillow is importable —
+    guarded import, never a hard dependency;
+  * PPM (P6) and uncompressed 24-bit BMP via a pure-numpy parser that
+    works in any environment (including this container, which has no
+    codec libraries).
+Audio/video codecs remain out of scope for this container; the
+deterministic ``fake_decoder=True`` path keeps the full feature pipeline
+testable for those kinds.
 """
 
 from __future__ import annotations

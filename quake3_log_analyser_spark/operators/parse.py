@@ -33,9 +33,34 @@ from ..schemas import EVENT_COLUMN_NAMES
 # passthrough transcript columns carried beside the parsed struct
 PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
 
+# widest event-field set for which the expr parser is janino-safe: with a
+# narrow consumed set, predicate pushdown re-inlines only the consumed
+# expressions (event_type dispatch + <=7 field extractors) — far below the
+# 64 KB method limit.  Full-width (fields=None) re-inlining is the measured
+# 191 s codegen-fallback failure, so that stays on the arrow barrier.
+EXPR_SAFE_FIELD_BUDGET = 7
+
+
+def choose_parser(fields: list[str] | None) -> str:
+    """Per-query-shape parser selection (the ``parser="auto"`` policy).
+
+    The expr parser is both the fastest absolute (2.4 s vs 5.2 s at sf0.1)
+    and the best-scaling (0.59 vs 0.27-0.37 per-stage efficiency,
+    BENCH/stage_scaling.txt) because it never pays the Arrow IPC boundary —
+    but it is only safe when the downstream keeps a NARROW field set (see
+    EXPR_SAFE_FIELD_BUDGET).  Wide or unknown field sets go to the arrow
+    parser, whose mapInArrow node is a deliberate pushdown barrier.
+    """
+    if fields is not None and len(fields) <= EXPR_SAFE_FIELD_BUDGET:
+        return "expr"
+    return "arrow"
+
 
 def parse_transcripts(
-    df: DataFrame, parser: str = "arrow", fields: list[str] | None = None
+    df: DataFrame,
+    parser: str = "arrow",
+    fields: list[str] | None = None,
+    pedantic: bool = False,
 ) -> DataFrame:
     """Parse the ``text`` column of a transcripts table into typed columns.
 
@@ -51,7 +76,17 @@ def parse_transcripts(
         string kernels; kept as a semantic cross-check)
       * ``expr``   — pure JVM column expressions (whole-stage codegen);
         safe only when the full parsed column set is kept downstream
+      * ``auto``   — ``choose_parser(fields)``: expr for narrow field
+        sets, arrow otherwise
+
+    ``pedantic=True`` (arrow parser only) makes the parse task itself raise
+    on the first malformed line — a ``--pedantic`` gate that NO downstream
+    plan rewrite (predicate pushdown, column pruning) can elide, because it
+    fires inside the Python worker before any result column exists.  The
+    other parsers rely on the column gate in ``fail_on_feed_errors``.
     """
+    if parser == "auto":
+        parser = choose_parser(fields)
     # pass through every non-event column (includes match columns when the
     # caller sessionized on raw text first — see sessionize_raw)
     cols = [c for c in df.columns if c not in EVENT_COLUMN_NAMES]
@@ -79,7 +114,9 @@ def parse_transcripts(
             + [T.StructField(n, t, True) for n, t in EVENT_FIELDS if n in out_fields]
         )
         return narrowed.mapInArrow(
-            make_map_in_arrow_fn(cols, None if fields is None else out_fields),
+            make_map_in_arrow_fn(
+                cols, None if fields is None else out_fields, pedantic=pedantic
+            ),
             schema=out_schema,
         )
     raise ValueError(f"unknown parser {parser!r} (want 'arrow', 'pandas' or 'expr')")
@@ -89,22 +126,34 @@ def fail_on_feed_errors(parsed: DataFrame) -> DataFrame:
 
     The reference's ``--pedantic`` flag sets ``stop_on_feed_errors``
     (app/src/main.rs:84-85), turning every ``LogParsingError`` fatal.  The
-    distributed analogue: ``raise_error`` folded into ``turn_idx`` (a
-    column every downstream stage consumes, so column pruning can never
-    elide the check) — the first malformed line fails the Spark job with
-    the reference-shaped message instead of flowing to the dead-letter
-    sink.
+    distributed analogue: ``raise_error`` folded into BOTH ``turn_idx`` and
+    ``event_type``.  Gating ``turn_idx`` alone is NOT pushdown-proof: when
+    no window consumes ``turn_idx`` after the parse (the session-first
+    path), Catalyst pushes summarize's ``event_type`` filter below this
+    projection and the error rows are discarded before the gate evaluates
+    (the round-2 ADVICE repro).  ``event_type`` is consumed by every
+    downstream filter/groupBy, and predicate-pushdown SUBSTITUTES the gated
+    expression into the pushed filter — so evaluating the filter on an
+    error row fires the raise wherever the filter lands in the plan.
     """
     err = F.col("parse_error_kind").isNotNull()
-    return parsed.withColumn(
-        "turn_idx",
-        F.when(~err, F.col("turn_idx")).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "Failed to process event #%d: `LogParsingError`: %s",
-                    F.col("turn_idx"),
-                    F.col("parse_error"),
-                )
-            ).cast("int")
-        ),
+
+    def _boom():
+        return F.raise_error(
+            F.format_string(
+                "Failed to process event #%d: `LogParsingError`: %s",
+                F.col("turn_idx"),
+                F.col("parse_error"),
+            )
+        )
+
+    return parsed.withColumns(
+        {
+            "turn_idx": F.when(~err, F.col("turn_idx")).otherwise(
+                _boom().cast("int")
+            ),
+            "event_type": F.when(~err, F.col("event_type")).otherwise(
+                _boom().cast("string")
+            ),
+        }
     )

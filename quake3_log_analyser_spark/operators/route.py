@@ -126,11 +126,17 @@ def write_sinks(
         "sink"
     ).parquet(base_path)
     # a sink with zero rows gets no partition directory — return only the
-    # sinks that materialized (readers of an absent path would throw)
-    import os
-
+    # sinks that materialized (readers of an absent path would throw).
+    # Existence goes through the Hadoop FileSystem API so hdfs:// / s3a://
+    # / file: URIs all resolve (round-2 ADVICE: os.path.isdir silently
+    # returned an empty map on any non-local filesystem).
+    spark = sessionized.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = base.getFileSystem(hconf)
     return {
         name: f"{base_path}/sink={name}"
         for name in SINKS
-        if os.path.isdir(f"{base_path.removeprefix('file:')}/sink={name}")
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(base, f"sink={name}"))
     }

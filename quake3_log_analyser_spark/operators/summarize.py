@@ -101,14 +101,18 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
     )
     is_world = F.col("killer_name") == WORLD
     # Violations ride the EXISTING group key as sentinel strings ("\x00" +
-    # the final error text, one singleton group each) so the 16M-row
-    # first-level aggregation keeps only sum/count/max — pure codegen
-    # HashAggregate.  Collecting (turn_idx, violation) structs here instead
-    # demotes the whole level to ObjectHashAggregate: measured 5x slower
-    # end-to-end at 16M turns.  "\x00" cannot appear in player names (the
-    # line grammar never produces it).
+    # zero-padded turn_idx + the final error text, one singleton group each)
+    # so the 16M-row first-level aggregation keeps only sum/count/max — pure
+    # codegen HashAggregate.  Collecting (turn_idx, violation) structs here
+    # instead demotes the whole level to ObjectHashAggregate: measured 5x
+    # slower end-to-end at 16M turns.  "\x00" cannot appear in player names
+    # (the line grammar never produces it).  The 12-digit zero-pad makes the
+    # later lexicographic array_sort equal STREAM (turn_idx) order — without
+    # it 'Event #10…' sorts before 'Event #9…', surprising consumers that
+    # assume the reference's within-match emission order.
     violation_sentinel = F.concat(
         F.lit("\x00"),
+        F.lpad(F.col("turn_idx").cast("string"), 12, "0"),
         F.format_string(
             "Event #%d: violated the event model: %s", F.col("turn_idx"), violation
         ),
@@ -148,8 +152,11 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(kill_entry)).alias("kills"),
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
-        F.array_sort(
-            F.collect_list(F.when(is_sentinel, F.substring("frag_name", 2, 1 << 20)))
+        # sort while the 12-digit pad (chars 2..13) is still attached, THEN
+        # strip it: message text starts at char 14 (1-based substring)
+        F.transform(
+            F.array_sort(F.collect_list(F.when(is_sentinel, F.col("frag_name")))),
+            lambda s: F.substring(s, 14, 1 << 20),
         ).alias("violations"),
     )
     summary_entry = F.struct(

@@ -47,6 +47,59 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# --verbose log-and-continue issue tier
+# ---------------------------------------------------------------------------
+
+
+def observe_issues(df: DataFrame, name: str = "log_issues"):
+    """The reference's ``--verbose`` tier (app/src/main.rs:82-99 builds
+    ``log_issues`` configs on every BLL/DAL stage): LOG per-kind issue
+    counts and CONTINUE — the complement of the three stop gates
+    (stop_on_violations / stop_on_feed_errors / stop_on_errors).
+
+    Implemented as ONE ``df.observe`` CollectMetrics node riding whatever
+    job the caller runs anyway — zero extra scans at any scale.  Counts one
+    metric per parse-error kind (schemas.ERROR_KINDS) and per event-model
+    violation kind (DoubleInit / GameNotStarted); kinds whose column is
+    absent from ``df`` (narrowed parse, pre-sessionize frame) are skipped.
+
+    Returns ``(df_with_observation, observation)``; call
+    ``issue_counts(observation)`` AFTER the first action on the returned
+    frame.
+    """
+    from ..operators.sessionize import V_DOUBLE_INIT, V_GAME_NOT_STARTED
+    from ..schemas import ERROR_KINDS
+
+    obs = Observation(name)
+    exprs = []
+    if "parse_error_kind" in df.columns:
+        for k in ERROR_KINDS:
+            exprs.append(
+                F.sum((F.col("parse_error_kind") == k).cast("long")).alias(
+                    f"parse_error/{k}"
+                )
+            )
+    if "violation" in df.columns:
+        for k in (V_DOUBLE_INIT, V_GAME_NOT_STARTED):
+            exprs.append(
+                F.sum((F.col("violation") == k).cast("long")).alias(
+                    f"violation/{k}"
+                )
+            )
+    if not exprs:
+        raise ValueError(
+            "observe_issues needs a parse_error_kind and/or violation "
+            f"column; got {df.columns}"
+        )
+    return df.observe(obs, *exprs), obs
+
+
+def issue_counts(obs: Observation) -> dict[str, int]:
+    """Non-zero per-kind issue counts from an ``observe_issues`` run."""
+    return {k: int(v) for k, v in obs.get.items() if v}
+
+
 def committed_units(spark: SparkSession, checkpoint_path: str) -> set[str]:
     try:
         rows = spark.read.parquet(checkpoint_path).select("unit").distinct().collect()

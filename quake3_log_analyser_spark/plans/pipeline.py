@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.parse import fail_on_feed_errors, parse_transcripts
+from ..operators.parse import choose_parser, fail_on_feed_errors, parse_transcripts
 from ..operators.sessionize import sessionize, sessionize_raw
 from ..operators.summarize import (
     DEFAULT_EXTENDED_OPS,
@@ -39,7 +39,7 @@ KILLS_ONLY = frozenset({"kills"})
 def summarize_matches(
     transcripts: DataFrame,
     ops: frozenset[str] | set[str] = KILLS_ONLY,
-    parser: str = "arrow",
+    parser: str = "auto",
     stop_on_violations: bool = False,
     session_first: bool = False,
     stop_on_feed_errors: bool = False,
@@ -67,10 +67,34 @@ def summarize_matches(
         "event_type", "client_id", "name", "killer_id", "victim_id",
         "killer_name", "victim_name", "reason_name", "frags",
     ]
-    error_fields = ["parse_error_kind", "parse_error"] if stop_on_feed_errors else []
+    # vectorized-path field set (narrow: 2-5 event columns)
+    agg_base = ["killer_name", "victim_name"]
+    if "means_of_death" in ops:
+        agg_base.append("reason_name")
+    if "reported_scores" in ops:
+        agg_base += ["name", "frags"]
+
+    if parser == "auto":
+        # per-query-shape selection (operators.parse.choose_parser): the
+        # fold path keeps 9 event fields -> arrow barrier; the vectorized
+        # kills-family paths keep 2-5 -> the faster, better-scaling expr
+        # parser (janino-safe at that width)
+        parser = choose_parser(
+            FOLD_FIELDS if "player_resolutions" in ops else agg_base
+        )
+
+    # pedantic enforcement is parser-dependent (both are pushdown-proof,
+    # see operators.parse.fail_on_feed_errors for why turn_idx alone isn't):
+    #  * arrow  — raise INSIDE the parse task (pedantic=True below); no
+    #    error columns ever reach the plan
+    #  * expr/pandas — raise_error gated into event_type + turn_idx, which
+    #    every downstream filter/groupBy consumes
+    pedantic_in_udf = stop_on_feed_errors and parser == "arrow"
+    gate_cols = stop_on_feed_errors and not pedantic_in_udf
+    error_fields = ["parse_error_kind", "parse_error"] if gate_cols else []
 
     def _gate(parsed: DataFrame) -> DataFrame:
-        return fail_on_feed_errors(parsed) if stop_on_feed_errors else parsed
+        return fail_on_feed_errors(parsed) if gate_cols else parsed
 
     # summaries never read role/tool/ts — selecting the 3 needed columns
     # BEFORE the parse halves the Arrow IPC payload through the Python
@@ -82,7 +106,10 @@ def summarize_matches(
     if "player_resolutions" in ops:
         parsed = _gate(
             parse_transcripts(
-                narrowed_in, parser=parser, fields=FOLD_FIELDS + error_fields
+                narrowed_in,
+                parser=parser,
+                fields=FOLD_FIELDS + error_fields,
+                pedantic=pedantic_in_udf,
             )
         )
         # the Python parsers (arrow/pandas) are pushdown barriers, so the
@@ -94,19 +121,24 @@ def summarize_matches(
 
     # dropped event types don't affect match state, and summarize filters
     # to Kill/Score rows above the window — no separate translate filter
-    agg_fields = ["killer_name", "victim_name"] + error_fields
-    if "means_of_death" in ops:
-        agg_fields.append("reason_name")
-    if "reported_scores" in ops:
-        agg_fields += ["name", "frags"]
+    agg_fields = agg_base + error_fields
     if session_first:
         raw_sess = sessionize_raw(narrowed_in)
         sessionized = _gate(
-            parse_transcripts(raw_sess, parser=parser, fields=agg_fields)
+            parse_transcripts(
+                raw_sess, parser=parser, fields=agg_fields, pedantic=pedantic_in_udf
+            )
         )
     else:
         sessionized = sessionize(
-            _gate(parse_transcripts(narrowed_in, parser=parser, fields=agg_fields))
+            _gate(
+                parse_transcripts(
+                    narrowed_in,
+                    parser=parser,
+                    fields=agg_fields,
+                    pedantic=pedantic_in_udf,
+                )
+            )
         )
     out = summarize_kills_only(sessionized)
     if "means_of_death" in ops:

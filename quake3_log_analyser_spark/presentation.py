@@ -147,7 +147,16 @@ def render_conv_reports(
     from .operators.summarize import FOLD_COLUMNS
 
     ops = frozenset(ops) if ops is not None else DEFAULT_OPS
-    cols = [c for c in FOLD_COLUMNS if c in translated.columns]
+    # the render fold indexes every fold column — fail at analysis time
+    # with a clear message instead of a per-task KeyError at execution
+    missing = [c for c in FOLD_COLUMNS if c not in translated.columns]
+    if missing:
+        raise ValueError(
+            f"render_conv_reports needs fold columns {missing}; "
+            f"input has {translated.columns} (parse with fields=None or "
+            f"fields ⊇ FOLD_COLUMNS)"
+        )
+    cols = list(FOLD_COLUMNS)
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]

@@ -92,7 +92,7 @@ def test_pipeline_narrows_input_before_python_boundary(spark):
     from quake3_log_analyser_spark.plans.pipeline import summarize_matches
 
     t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
-    plan = plan_of(summarize_matches(t, ops={"kills"}))
+    plan = plan_of(summarize_matches(t, ops={"kills"}, parser="arrow"))
     m = re.search(r"MapInArrow .*?\[([^\]]*)\]", plan)
     assert m, plan
     in_cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
@@ -114,3 +114,54 @@ def test_kills_only_first_level_agg_stays_codegen(spark):
     # the ONLY ObjectHashAggregate pair allowed is the per-match collect
     # level; below it (towards the scan) only HashAggregate may appear
     assert "HashAggregate" in first_agg, plan
+
+
+def test_auto_parser_picks_expr_for_narrow_kills_path(spark):
+    """parser='auto' (the default) must select the expr parser for the
+    narrow kills-family shapes: no Python boundary in the plan at all —
+    the expr variant is 2x faster and scales at 0.59 vs arrow's 0.27-0.37
+    (BENCH/stage_scaling.txt)."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
+    for ops in ({"kills"}, {"kills", "means_of_death", "reported_scores"}):
+        plan = plan_of(summarize_matches(t, ops=ops))
+        assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan, (
+            f"auto should pick the expr parser for {ops}"
+        )
+
+
+def test_auto_parser_keeps_arrow_barrier_for_fold_path(spark):
+    """The 9-field player_resolutions fold keeps the arrow parser: wide
+    re-inlining is the documented janino >64KB hazard, and the path pays a
+    Python boundary for the fold anyway."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import (
+        full_pipeline_ops,
+        summarize_matches,
+    )
+
+    t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
+    plan = plan_of(summarize_matches(t, ops=full_pipeline_ops()))
+    assert "MapInArrow" in plan
+
+
+def test_auto_expr_pipeline_never_falls_back_from_codegen(spark):
+    """With spark.sql.codegen.fallback=false a janino compile failure is
+    FATAL instead of a silent 60s-per-stage interpreted fallback — running
+    the auto (expr) pipeline end-to-end under that config proves the narrow
+    field set stays inside the 64KB codegen limit."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=6, turns_per_conv=60)
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = summarize_matches(
+            t, ops={"kills", "means_of_death", "reported_scores"}
+        ).collect()
+        assert len(rows) > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

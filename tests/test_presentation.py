@@ -244,3 +244,37 @@ def test_stop_on_feed_errors_passes_clean_input(spark):
     t = transcripts_from_file(spark, str(path), "pedantic")
     rows = summarize_matches(t, ops={"kills"}, stop_on_feed_errors=True).collect()
     assert len([r for r in rows if r["error"] is None]) == 20
+
+
+@pytest.mark.parametrize("parser", ["arrow", "expr", "pandas"])
+def test_stop_on_feed_errors_is_pushdown_proof_session_first(spark, parser):
+    """Round-2 ADVICE (high): with session_first=True no window consumes
+    turn_idx after the parse, so a turn_idx-only raise_error gate was
+    elided by predicate pushdown and the pedantic job silently succeeded
+    with 0 rows.  The gate must fire for EVERY parser on this path."""
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+    from quake3_log_analyser_spark.sources.transcripts import transcripts_from_file
+
+    path = FIXTURES_DAL / "malformed_line.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "malformed")
+    with pytest.raises(Exception, match="LogParsingError"):
+        summarize_matches(
+            t, ops={"kills"}, parser=parser,
+            session_first=True, stop_on_feed_errors=True,
+        ).collect()
+
+
+def test_render_conv_reports_validates_fold_columns(spark):
+    """A missing fold column must raise a descriptive ValueError at
+    analysis time, not a per-task KeyError at execution (round-2 ADVICE)."""
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.translate import translate
+    from quake3_log_analyser_spark.presentation import render_conv_reports
+    from quake3_log_analyser_spark.sources.transcripts import transcripts_from_lines
+
+    t = transcripts_from_lines(spark, [" 0:00 InitGame: \\fraglimit\\20"], "c0")
+    narrowed = translate(parse_transcripts(t, fields=["killer_name"]))
+    with pytest.raises(ValueError, match="fold columns"):
+        render_conv_reports(narrowed)

@@ -119,3 +119,59 @@ def test_resumable_run_is_single_pass(spark, tmp_path):
     summaries = summarize_kills_only(sessionize(parse_transcripts(part)))
     plan = summaries._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_write_sinks_resolves_file_uri_paths(spark, sessionized, tmp_path):
+    """Sink discovery goes through the Hadoop FS API, so a file: URI base
+    path (and by extension hdfs://, s3a://) resolves — the round-2 ADVICE
+    found os.path.isdir returned an empty map for any URI base."""
+    base = f"file://{tmp_path}/sinks_uri"
+    paths = write_sinks(sessionized, base)
+    assert "kills" in paths and "errors" in paths
+    assert paths["kills"].startswith("file://")
+    assert spark.read.parquet(paths["kills"]).count() > 0
+
+
+def test_observe_issues_counts_per_kind(spark):
+    """--verbose log-and-continue tier: per-kind parse-error and violation
+    counts ride the SAME action via df.observe (VERDICT r2 item 7)."""
+    from quake3_log_analyser_spark.plans.checkpoint import issue_counts, observe_issues
+    from quake3_log_analyser_spark.sources.transcripts import transcripts_from_lines
+
+    lines = [
+        " 0:02 Exit: Timelimit hit.",             # GameNotStarted (no match)
+        r" 0:00 InitGame: \fraglimit\20",
+        r" 0:00 InitGame: \fraglimit\20",          # DoubleInit
+        " 0:01 Kill: 2 3 7: A killed B by MOD_ROCKET",
+        " 0:02 ShutdownGame:",
+        "garbage",                                 # UnrecognizedLineFormat
+        " 0:00 foo: bar",                          # UnknownEventName
+    ]
+    t = transcripts_from_lines(spark, lines, "c0")
+    sess = sessionize(parse_transcripts(t))
+    observed, obs = observe_issues(sess)
+    observed.count()  # any action materializes the metrics
+    counts = issue_counts(obs)
+    assert counts["parse_error/UnrecognizedLineFormat"] == 1
+    assert counts["parse_error/UnknownEventName"] == 1
+    assert counts["violation/DoubleInit"] == 1
+    assert counts["violation/GameNotStarted"] == 1
+    assert all(v > 0 for v in counts.values())  # zero kinds are dropped
+
+
+def test_observe_issues_on_malformed_fixture(spark):
+    """The dal fixture's single bad line is surfaced by kind while the job
+    completes (log-and-continue, NOT the stop_on_feed_errors gate)."""
+    from quake3_log_analyser_spark.plans.checkpoint import issue_counts, observe_issues
+    from tests.conftest import FIXTURES_DAL
+
+    path = FIXTURES_DAL / "malformed_line.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "m")
+    parsed = parse_transcripts(t)
+    observed, obs = observe_issues(parsed)
+    n_err_rows = observed.filter(F.col("parse_error_kind").isNotNull()).count()
+    counts = issue_counts(obs)
+    assert sum(v for k, v in counts.items() if k.startswith("parse_error/")) == n_err_rows
+    assert n_err_rows > 0

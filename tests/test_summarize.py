@@ -468,3 +468,17 @@ def test_session_first_equals_parse_first(spark):
     assert len([r for r in a_rows if r["error"] is None]) == 20
     errs = [r["error"] for r in a_rows if r["error"] is not None]
     assert errs == ["Event #98: violated the event model: DoubleInit"]
+
+
+def test_violation_rows_emit_in_stream_order(spark):
+    """Violations within a match must come back in turn_idx (stream) order,
+    not lexicographic message order — 'Event #10' after 'Event #9' (the
+    round-2 ADVICE finding: unpadded sentinels sorted '#10' before '#9')."""
+    say = " 0:01 say: hello"
+    lines = [say] * 8 + [exit_(), exit_()]  # violations at turns 9 and 10
+    rows = run(spark, lines, BASIC)
+    errs = [r["error"] for r in rows if r["error"] is not None]
+    assert errs == [
+        "Event #9: violated the event model: GameNotStarted",
+        "Event #10: violated the event model: GameNotStarted",
+    ]

@@ -277,3 +277,20 @@ def test_multimodal_real_decoder_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx")
+
+
+def test_lsh_signature_null_vectors(spark):
+    """NULL / empty vectors must yield NULL signatures, not crash the batch
+    (round-2 ADVICE: np.stack raised on a None in the batch)."""
+    from quake3_log_analyser_spark.operators.ann import lsh_signature
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None), (3, [0.2] * 8), (4, [])],
+        "vec_id int, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id", lsh_signature(F.col("embedding"), 12).alias("sig")
+    ).collect()
+    sigs = {r["vec_id"]: r["sig"] for r in out}
+    assert sigs[2] is None and sigs[4] is None
+    assert sigs[1] is not None and sigs[3] is not None
