@@ -37,12 +37,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 TURNS_PER_CONV = 600
 
 
-def ensure_transcripts(spark, sf_name: str, n_rows_hint: int) -> str:
+def ensure_transcripts(
+    spark, sf_name: str, n_rows_hint: int, hot_conv_factor: int = 8, tag: str = ""
+) -> str:
     """Generate (once) and return the path of the bench transcripts table."""
     from quake3_log_analyser_spark.datagen import generate_transcripts
 
     n_convs = max(64, n_rows_hint // TURNS_PER_CONV)
-    path = str(REPO / "data" / f"transcripts_{sf_name}_{n_convs}x{TURNS_PER_CONV}")
+    path = str(
+        REPO / "data" / f"transcripts_{sf_name}_{n_convs}x{TURNS_PER_CONV}{tag}"
+    )
     marker = Path(path) / "_SUCCESS"
     if not marker.exists():
         df = generate_transcripts(
@@ -50,7 +54,7 @@ def ensure_transcripts(spark, sf_name: str, n_rows_hint: int) -> str:
             n_convs=n_convs,
             turns_per_conv=TURNS_PER_CONV,
             malformed_per_mille=5,
-            hot_conv_factor=8,
+            hot_conv_factor=hot_conv_factor,
             partitions=CPUS * 2,
         )
         df.write.mode("overwrite").parquet(path)
@@ -153,6 +157,29 @@ def main() -> None:
 
     bench("pipeline_kills_bucketed", run_pipeline_bucketed)
 
+    # skew posture (north rule): ONE conversation holds ~10% of all turns.
+    # The skew lands on the sessionize window (partitionBy conv_id — a
+    # co-location requirement AQE cannot split), so this measures the
+    # straggler cost relative to the uniform table above.  hot_conv_factor
+    # f gives conv0 f*TURNS turns of base+ (f-1)*TURNS total: f = base/(9*TURNS).
+    n_convs = max(64, orders_rows * 10 // TURNS_PER_CONV)
+    hot_factor = max(2, n_convs // 9)
+    skew_path = ensure_transcripts(
+        spark, sf_name, orders_rows * 10, hot_conv_factor=hot_factor, tag="_skew"
+    )
+    skewed = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(skew_path)
+    n_skew_turns = skewed.count()
+
+    def run_pipeline_skewed():
+        out = summarize_matches(skewed, ops={"kills"})
+        return out.agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("total_kills").alias("kills"),
+        ).collect()[0]
+
+    bench("pipeline_kills_skewed", run_pipeline_skewed)
+    skew_hot_share = round(hot_factor * TURNS_PER_CONV / n_skew_turns, 3)
+
     # parser comparison (reference: split vs regex, 3200x — ours: JVM
     # expressions vs Arrow pandas UDF)
     def run_parse(parser):
@@ -218,6 +245,7 @@ def main() -> None:
                 "n_matches": head["n_matches"],
                 "cpus": CPUS,
                 "protocol": f"{WARMUPS} warmups + median of {REPS}",
+                "skew_hot_share": skew_hot_share,
             }
         )
     )

@@ -75,6 +75,57 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _gradient_image(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB test pattern seeded by media id."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 17 + i) % 256, (y * 7 + 2 * i) % 256, (x + y + 3 * i) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary P6 PPM."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> uncompressed bottom-up 24-bit BMP."""
+    import struct
+
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (row_bytes - len(row))
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(raster)
+
+
+def synthetic_image_media(
+    spark: SparkSession, n: int = 16, w: int = 12, h: int = 9, fmt: str = "ppm"
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded images (P6 PPM or 24-bit
+    BMP) of a deterministic gradient — exercises the real decode tier in
+    environments without any codec library."""
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp}[fmt]
+    rows = [
+        (
+            i,
+            "image",
+            bytearray(enc(_gradient_image(i, w, h))),
+            (w, h, None, None, f"image/x-{fmt}"),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic stand-in for a real codec: bytes -> unit feature vec."""
     h = hashlib.sha256(payload or b"").digest()
@@ -83,13 +134,90 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return v.astype(np.float32)
 
 
-def decode_image(payload: bytes):
-    """Real image decode — STUB: the codec libraries are not available in
-    this environment.  The Spark-side contract (binary in, array out via
-    mapInPandas) is exercised with ``fake_decoder=True``."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decoder=True"
-    )
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 (binary) PPM -> HxWx3 uint8, pure numpy/stdlib."""
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (want 255)")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 (RGB), pure numpy/stdlib."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        raster = raster[::-1]
+    return raster[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 RGB array.
+
+    Two tiers: Pillow handles any format it knows when importable (guarded
+    import — never a hard dependency); PPM (P6) and uncompressed 24-bit
+    BMP decode via the pure-numpy parsers above in ANY environment.  An
+    unrecognized payload raises ValueError with the magic bytes.
+    """
+    if not payload:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    try:
+        from PIL import Image  # optional; absent in this container
+    except ImportError:
+        raise ValueError(
+            f"unrecognized image magic {payload[:4]!r} and Pillow is not "
+            "installed (pure-numpy tier handles P6 PPM and 24-bit BMP)"
+        ) from None
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def image_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Pixel array -> fixed-width feature vector: per-channel mean/std plus
+    a coarse nearest-neighbor-downsampled gray grid, padded/truncated to
+    ``dim`` and L2-normalized — deterministic, codec-independent."""
+    f = [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0]
+    side = max(1, int(np.ceil(np.sqrt(max(dim - 6, 1)))))
+    ys = np.linspace(0, img.shape[0] - 1, side).astype(int)
+    xs = np.linspace(0, img.shape[1] - 1, side).astype(int)
+    grid = img[np.ix_(ys, xs)].mean(axis=2).ravel() / 255.0
+    v = np.concatenate([*f, grid])[:dim]
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
 
 
 def extract_features(
@@ -100,6 +228,10 @@ def extract_features(
     Partition-preserving, columns pruned to (media_id, kind, payload); at
     scale this is the pattern for any decode/resize/frame-sample stage —
     one Python worker per partition, whole Arrow batches in and out.
+
+    ``fake_decoder=False`` runs the REAL image decode (PPM/BMP always;
+    PNG/JPEG when Pillow is importable) followed by ``image_features``;
+    the fake path keeps audio/video (no codecs here) testable.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,7 +243,7 @@ def extract_features(
                 if fake_decoder:
                     feats.append(_fake_decode(b, dim).tolist())
                 else:
-                    decode_image(b)  # NotImplementedError by design
+                    feats.append(image_features(decode_image(b), dim).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -16,9 +16,10 @@ a run must be resumable and auditable.  Design:
   the partitioned write commits (write-ahead ordering: sinks first, then
   the checkpoint rows; a crash between the two re-processes those units
   into overwritten partitions, which is idempotent).
-* On Iceberg the same logic rides snapshot commits: the write is one
-  atomic snapshot, the checkpoint append a second, and restart reads the
-  last committed snapshot.
+* On Iceberg the same logic rides snapshot commits
+  (``run_resumable_iceberg``): the summaries write is one atomic
+  ``overwritePartitions`` snapshot, the checkpoint append a second, and
+  restart reads the last committed checkpoint snapshot.
 
 Scale note: n_units bounds the observe expression count (3 per unit) and
 the partition count of the output — hundreds are fine, and each pending
@@ -108,13 +109,9 @@ def committed_units(spark: SparkSession, checkpoint_path: str) -> set[str]:
         return set()
 
 
-def commit_units(
-    spark: SparkSession,
-    checkpoint_path: str,
-    run_id: str,
-    metrics_by_unit: dict[str, dict],
-) -> None:
-    """Append one lineage/metrics row per unit (one atomic-ish write)."""
+def _metrics_df(
+    spark: SparkSession, run_id: str, metrics_by_unit: dict[str, dict]
+) -> DataFrame:
     rows = [
         (
             run_id,
@@ -126,12 +123,23 @@ def commit_units(
         )
         for unit, m in metrics_by_unit.items()
     ]
-    df = spark.createDataFrame(
+    return spark.createDataFrame(
         rows,
         "run_id string, unit string, n_input_rows long, n_parse_errors long, "
         "n_matches long, wall_sec double",
     ).withColumn("committed_at", F.current_timestamp())
-    df.write.mode("append").parquet(checkpoint_path)
+
+
+def commit_units(
+    spark: SparkSession,
+    checkpoint_path: str,
+    run_id: str,
+    metrics_by_unit: dict[str, dict],
+) -> None:
+    """Append one lineage/metrics row per unit (one atomic-ish write)."""
+    _metrics_df(spark, run_id, metrics_by_unit).write.mode("append").parquet(
+        checkpoint_path
+    )
 
 
 def commit_unit(
@@ -144,31 +152,14 @@ def commit_unit(
     commit_units(spark, checkpoint_path, run_id, {unit: metrics})
 
 
-def run_resumable(
-    spark: SparkSession,
-    transcripts: DataFrame,
-    out_base: str,
-    checkpoint_path: str,
-    run_id: str,
-    n_units: int = 16,
-) -> list[str]:
-    """Process the table's uncommitted conv_id-hash units in ONE pass.
-
-    Returns the list of units processed in this invocation.  Calling it a
-    second time on the same inputs is a no-op (idempotent resume); killing
-    it between the data write and the checkpoint append re-runs only the
-    un-committed units, whose partitions are dynamically overwritten.
-    """
+def _build_unit_run(transcripts: DataFrame, pending: list[int], n_units: int):
+    """Shared single-pass core: pending-unit filter -> parse -> sessionize
+    (with per-unit observe metrics) -> summaries re-keyed by convhash.
+    Returns (summaries_df, observation)."""
     from ..operators.parse import parse_transcripts
     from ..operators.sessionize import sessionize
     from ..operators.summarize import summarize_kills_only
 
-    done = committed_units(spark, checkpoint_path)
-    pending = [u for u in range(n_units) if f"convhash={u}" not in done]
-    if not pending:
-        return []
-
-    t0 = time.perf_counter()
     unit_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
     part = transcripts.withColumn("convhash", unit_col).filter(
         F.col("convhash").isin(pending)
@@ -193,16 +184,12 @@ def run_resumable(
     summaries = summarize_kills_only(sess).withColumn(
         "convhash", F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
     )
-    (
-        summaries.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("convhash")
-        .parquet(f"{out_base}/summaries")
-    )
+    return summaries, obs
 
-    vals = obs.get  # blocks on the action above; one scan total
-    wall = time.perf_counter() - t0
-    metrics = {
+
+def _unit_metrics(obs: Observation, pending: list[int], wall: float) -> dict:
+    vals = obs.get  # blocks on the triggering action; one scan total
+    return {
         f"convhash={u}": {
             "n_input_rows": vals[f"rows_{u}"] or 0,
             "n_parse_errors": vals[f"errs_{u}"] or 0,
@@ -214,5 +201,98 @@ def run_resumable(
         }
         for u in pending
     }
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_base: str,
+    checkpoint_path: str,
+    run_id: str,
+    n_units: int = 16,
+) -> list[str]:
+    """Process the table's uncommitted conv_id-hash units in ONE pass.
+
+    Returns the list of units processed in this invocation.  Calling it a
+    second time on the same inputs is a no-op (idempotent resume); killing
+    it between the data write and the checkpoint append re-runs only the
+    un-committed units, whose partitions are dynamically overwritten.
+    """
+    done = committed_units(spark, checkpoint_path)
+    pending = [u for u in range(n_units) if f"convhash={u}" not in done]
+    if not pending:
+        return []
+
+    t0 = time.perf_counter()
+    summaries, obs = _build_unit_run(transcripts, pending, n_units)
+    (
+        summaries.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("convhash")
+        .parquet(f"{out_base}/summaries")
+    )
+    metrics = _unit_metrics(obs, pending, time.perf_counter() - t0)
     commit_units(spark, checkpoint_path, run_id, metrics)
+    return [f"convhash={u}" for u in pending]
+
+
+def committed_units_table(spark: SparkSession, checkpoint_table: str) -> set[str]:
+    """Committed units from a catalog (e.g. Iceberg) checkpoint table —
+    reads the table's LAST COMMITTED SNAPSHOT (Iceberg read isolation), so
+    a writer that died mid-append is invisible here."""
+    try:
+        rows = (
+            spark.read.table(checkpoint_table).select("unit").distinct().collect()
+        )
+        return {r["unit"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_resumable_iceberg(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    summaries_table: str,
+    checkpoint_table: str,
+    run_id: str,
+    n_units: int = 16,
+) -> list[str]:
+    """Snapshot-based idempotent resume on Iceberg tables (the 100 TB
+    deployment posture; requires the Iceberg Spark runtime jars).
+
+    Same unit logic as ``run_resumable`` but each write is ONE atomic
+    Iceberg snapshot:
+
+    * summaries land via ``writeTo(...).overwritePartitions()`` — dynamic
+      partition overwrite under snapshot isolation, so re-running a unit
+      replaces exactly its ``convhash`` partition and readers never see a
+      half-written state;
+    * the checkpoint append is a second snapshot; restart reads the last
+      committed checkpoint snapshot (``committed_units_table``).  A crash
+      between the two snapshots re-processes only the unclaimed units into
+      overwritten partitions — idempotent, same write-ahead ordering as
+      the parquet path.
+    """
+    done = committed_units_table(spark, checkpoint_table)
+    pending = [u for u in range(n_units) if f"convhash={u}" not in done]
+    if not pending:
+        return []
+
+    t0 = time.perf_counter()
+    summaries, obs = _build_unit_run(transcripts, pending, n_units)
+    if spark.catalog.tableExists(summaries_table):
+        summaries.writeTo(summaries_table).overwritePartitions()
+    else:
+        (
+            summaries.writeTo(summaries_table)
+            .partitionedBy(F.col("convhash"))
+            .using("iceberg")
+            .create()
+        )
+    metrics = _unit_metrics(obs, pending, time.perf_counter() - t0)
+    mdf = _metrics_df(spark, run_id, metrics)
+    if spark.catalog.tableExists(checkpoint_table):
+        mdf.writeTo(checkpoint_table).append()
+    else:
+        mdf.writeTo(checkpoint_table).using("iceberg").create()
     return [f"convhash={u}" for u in pending]

@@ -78,10 +78,18 @@ def summarize_matches(
         # per-query-shape selection (operators.parse.choose_parser): the
         # fold path keeps 9 event fields -> arrow barrier; the vectorized
         # kills-family paths keep 2-5 -> the faster, better-scaling expr
-        # parser (janino-safe at that width)
-        parser = choose_parser(
-            FOLD_FIELDS if "player_resolutions" in ops else agg_base
-        )
+        # parser (janino-safe at that width).  EXCEPT session_first: there
+        # the parse sits ABOVE the window, so summarize's filters have no
+        # shuffle fence below them — with the expr parser they re-inline
+        # the full dispatch tree into the aggregation stage and janino
+        # fails compilation (measured: 19.6 s interpreted-fallback vs
+        # 6.8 s with the arrow barrier on the same bucketed input).
+        if session_first:
+            parser = "arrow"
+        else:
+            parser = choose_parser(
+                FOLD_FIELDS if "player_resolutions" in ops else agg_base
+            )
 
     # pedantic enforcement is parser-dependent (both are pushdown-proof,
     # see operators.parse.fail_on_feed_errors for why turn_idx alone isn't):

@@ -165,3 +165,22 @@ def test_auto_expr_pipeline_never_falls_back_from_codegen(spark):
         assert len(rows) > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_auto_parser_session_first_keeps_arrow_barrier(spark):
+    """session_first puts the parse ABOVE the window — no shuffle fence
+    stops summarize's filters from re-inlining the expr parse tree, so
+    auto must keep the arrow barrier there (measured: expr fell out of
+    codegen with InternalCompilerException, 19.6 s vs 6.8 s)."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=6, turns_per_conv=60)
+    df = summarize_matches(t, ops={"kills"}, session_first=True)
+    assert "MapInArrow" in plan_of(df)
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert len(df.collect()) > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

@@ -175,3 +175,48 @@ def test_observe_issues_on_malformed_fixture(spark):
     counts = issue_counts(obs)
     assert sum(v for k, v in counts.items() if k.startswith("parse_error/")) == n_err_rows
     assert n_err_rows > 0
+
+
+def test_iceberg_snapshot_resume(spark, tmp_path):
+    """Snapshot-based idempotent resume (VERDICT r2 item 3): summaries via
+    one atomic overwritePartitions snapshot, checkpoint append as a second,
+    restart from the last committed snapshot.  Runs only with the Iceberg
+    Spark runtime jars on the classpath (the 100 TB posture)."""
+    from tests.test_sources import _has_iceberg
+
+    if not _has_iceberg(spark):
+        pytest.skip("Iceberg Spark runtime jars not on the classpath")
+    from quake3_log_analyser_spark.plans.checkpoint import run_resumable_iceberg
+    from tests.conftest import FIXTURES_BLL
+
+    path = FIXTURES_BLL / "discrepant.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    t = transcripts_from_file(spark, str(path), "discrepant")
+
+    done1 = run_resumable_iceberg(
+        spark, t, "it.db.summaries", "it.db.ckpt", run_id="r1", n_units=4
+    )
+    assert len(done1) == 4
+    assert spark.read.table("it.db.ckpt").count() == 4
+    n_sum = spark.read.table("it.db.summaries").count()
+
+    # idempotent: second run is a no-op, snapshot count unchanged for data
+    done2 = run_resumable_iceberg(
+        spark, t, "it.db.summaries", "it.db.ckpt", run_id="r2", n_units=4
+    )
+    assert done2 == []
+    assert spark.read.table("it.db.summaries").count() == n_sum
+
+    # crash-between-snapshots: remove one unit's checkpoint rows -> only it
+    # re-runs, and its partition is REPLACED (not duplicated) by the
+    # overwritePartitions snapshot
+    spark.sql("DELETE FROM it.db.ckpt WHERE unit = 'convhash=1'")
+    done3 = run_resumable_iceberg(
+        spark, t, "it.db.summaries", "it.db.ckpt", run_id="r3", n_units=4
+    )
+    assert done3 == ["convhash=1"]
+    assert spark.read.table("it.db.summaries").count() == n_sum

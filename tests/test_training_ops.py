@@ -272,11 +272,47 @@ def test_multimodal_plumbing(spark):
     assert rows and all(r["count"] >= 3 for r in rows)
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
-    from quake3_log_analyser_spark.operators.multimodal import decode_image
+def test_multimodal_real_decode_roundtrip():
+    """decode_image is REAL for PPM/BMP (pure numpy, no codec libs): both
+    encodings of the same gradient decode back to identical pixel arrays,
+    including BMP 4-byte row padding at odd widths."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+    from quake3_log_analyser_spark.operators.multimodal import (
+        _gradient_image,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w, h in [(12, 9), (7, 5)]:
+        img = _gradient_image(3, w, h)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(ValueError, match="magic|Pillow"):
+        decode_image(b"\x89PNG\r\nnot-actually-decodable-without-pillow")
+
+
+@pytest.mark.parametrize("fmt", ["ppm", "bmp"])
+def test_multimodal_real_feature_pipeline(spark, fmt):
+    """The SAME extract_features pipeline runs with the real decoder
+    (fake_decoder=False) on real encoded payloads — and with the fake
+    decoder — satisfying the both-modes contract (VERDICT r2 item 8)."""
+    from quake3_log_analyser_spark.operators.multimodal import (
+        extract_features,
+        synthetic_image_media,
+    )
+
+    media = synthetic_image_media(spark, n=12, fmt=fmt)
+    real = {r["media_id"]: r for r in extract_features(media, dim=8, fake_decoder=False).collect()}
+    fake = {r["media_id"]: r for r in extract_features(media, dim=8, fake_decoder=True).collect()}
+    assert len(real) == 12 and len(fake) == 12
+    assert all(len(r["feature"]) == 8 for r in real.values())
+    # real features are image-content-derived, not payload-hash-derived
+    assert real[0]["feature"] != fake[0]["feature"]
+    # determinism of the real path
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8, fake_decoder=False).collect()}
+    assert again[5] == real[5]["feature"]
 
 
 def test_lsh_signature_null_vectors(spark):
