@@ -142,6 +142,13 @@ def main() -> None:
             F.sum("total_kills").alias("kills"),
         ).collect()[0]
 
+    # GLOBAL warm-up: the first measured query otherwise eats the whole
+    # JVM/VM settling window (JIT, page cache, governor) — observed as the
+    # first query reading 1.5-2x its steady state even with its own two
+    # per-query warm-ups
+    for _ in range(2):
+        run_pipeline()
+
     head = bench("pipeline_kills", run_pipeline)
 
     # bucketed + raw-session-first variant: shuffle-free, sort-free window

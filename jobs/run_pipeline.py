@@ -36,6 +36,16 @@ def main() -> None:
     ap.add_argument("--session-first", action="store_true")
     ap.add_argument("--n-units", type=int, default=64)
     ap.add_argument("--stop-on-violations", action="store_true")
+    ap.add_argument(
+        "--pedantic", action="store_true",
+        help="fail on the first malformed line AND on event-model "
+        "violations (the reference's --pedantic, app/src/main.rs:84-85)",
+    )
+    ap.add_argument(
+        "--verbose", action="store_true",
+        help="log-and-continue tier: print per-kind parse-error and "
+        "violation counts (df.observe — zero extra scans)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,14 +70,26 @@ def main() -> None:
         print(f"resumable run {args.run_id}: processed units {units}")
     else:
         sessionized = sessionize(parse_transcripts(transcripts))
+        obs = None
+        if args.verbose:
+            from quake3_log_analyser_spark.plans.checkpoint import (
+                issue_counts,
+                observe_issues,
+            )
+
+            sessionized, obs = observe_issues(sessionized)
         paths = write_sinks(sessionized, f"{args.output}/sinks")
         summaries = summarize_matches(
             transcripts, ops=ops,
-            stop_on_violations=args.stop_on_violations,
+            stop_on_violations=args.stop_on_violations or args.pedantic,
+            stop_on_feed_errors=args.pedantic,
             session_first=args.session_first,
         )
         summaries.write.mode("overwrite").parquet(f"{args.output}/match_summaries")
         print(f"run {args.run_id}: sinks={list(paths)} + match_summaries")
+        if obs is not None:
+            for kind, n in sorted(issue_counts(obs).items()):
+                print(f"log_issues {kind}: {n}")
 
 
 if __name__ == "__main__":

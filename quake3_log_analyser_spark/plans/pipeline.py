@@ -43,6 +43,7 @@ def summarize_matches(
     stop_on_violations: bool = False,
     session_first: bool = False,
     stop_on_feed_errors: bool = False,
+    early_discard: bool = True,
 ) -> DataFrame:
     """transcripts -> per-match summary DataFrame (MATCH_SUMMARY_SCHEMA).
 
@@ -126,6 +127,27 @@ def summarize_matches(
         # (see operators.translate.domain_filter) — skip the filter there
         domain = translate(parsed, with_filter=(parser != "expr"))
         return summarize_extended(domain, ops, stop_on_violations)
+
+    # EARLY DISCARD on RAW text (the reference's events_translation.rs
+    # "only pay for what you use", moved BELOW the parse): the vectorized
+    # kills-family summaries consume only marker + Kill (+ score) events,
+    # so a cheap JVM substring filter drops every other line BEFORE the
+    # parse tree runs.  Safe because it is an OVER-approximation (a say
+    # line containing " Kill:" passes and the parse still classifies it)
+    # that never drops a consumed row: match_id/in_game derive from the
+    # retained markers and turn_idx values are preserved.  Referencing only
+    # `text`, the predicate pushes to the scan with no re-inlining hazard.
+    # Skipped when pedantic: the feed gate must see ALL lines.  Measured
+    # at 16M turns x 32 cores: 16.7 s -> 14.2 s e2e on the kill-heavy
+    # synthetic mix (larger on chat-heavy real logs).
+    if early_discard and not stop_on_feed_errors:
+        tokens = ["Kill", "InitGame", "Exit", "ShutdownGame"]
+        if "reported_scores" in ops:
+            tokens.append("score")
+        keep = F.col("text").like(f"% {tokens[0]}:%")
+        for tok in tokens[1:]:
+            keep = keep | F.col("text").like(f"% {tok}:%")
+        narrowed_in = narrowed_in.filter(keep)
 
     # dropped event types don't affect match state, and summarize filters
     # to Kill/Score rows above the window — no separate translate filter

@@ -482,3 +482,29 @@ def test_violation_rows_emit_in_stream_order(spark):
         "Event #9: violated the event model: GameNotStarted",
         "Event #10: violated the event model: GameNotStarted",
     ]
+
+
+def test_early_discard_equals_unfiltered_on_fixtures(spark):
+    """The raw-text early-discard filter is an over-approximation that must
+    not change ANY summary output — checked against the reference fixtures
+    (which contain say/chat lines with arbitrary content) by comparing the
+    filtered pipeline to a parser-forced run without it (stop_on_feed_errors
+    unused, so only the filter differs)."""
+    for fixture, root in [
+        ("qgames_permissive.log", FIXTURES_BLL),
+        ("discrepant.log", FIXTURES_BLL),
+    ]:
+        path = root / fixture
+        if not path.exists():
+            pytest.skip("reference fixture unavailable")
+        t = transcripts_from_file(spark, str(path), fixture)
+        for ops in (BASIC, frozenset({"kills", "means_of_death", "reported_scores"})):
+            with_filter = summarize_matches(t, ops=ops).collect()
+            baseline = summarize_matches(t, ops=ops, early_discard=False).collect()
+            assert sorted(
+                [(r["conv_id"], r["match_id"], r["total_kills"],
+                  tuple(r["players"] or []), r["error"]) for r in with_filter], key=str
+            ) == sorted(
+                [(r["conv_id"], r["match_id"], r["total_kills"],
+                  tuple(r["players"] or []), r["error"]) for r in baseline], key=str
+            )
