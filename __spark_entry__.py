@@ -1133,6 +1133,68 @@ FROM cands QUALIFY rnk <= 10
 """
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (16 seed centroids, nprobe=2) + exact
+    in-cell rerank, queries = vec_id<10.  The deterministic seed rule
+    (centroids = the 16 smallest-id vectors) makes the ENTIRE path —
+    assignment, probing, candidate join, rerank — reproducible in plain
+    SQL.  Same rounded-rank float discipline as lsh_topk."""
+    from pyspark.sql import Window
+    from quake3_log_analyser_spark.operators.ann import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = as_double.filter(F.col("vec_id") < 10)
+    cands = ivf_topk(
+        as_double, qs, k=1_000_000, n_centroids=16, nprobe=2
+    ).withColumn("cosine_r", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_r"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 10)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("cosine_r").alias("cosine"),
+            F.col("rnk2").alias("rnk"),
+        )
+    )
+
+
+_ORACLE_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+         ) AS r
+  FROM e CROSS JOIN cent c
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM ranked WHERE r = 1),
+query_cells  AS (SELECT vec_id AS query_id,   v AS qv, cid FROM ranked
+                 WHERE r <= 2 AND vec_id < 10),
+cands AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, nv), 6) AS cosine
+  FROM query_cells q JOIN corpus_cells c USING (cid)
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+FROM cands QUALIFY rnk <= 10
+"""
+
+
 _EXTRA_QUERIES = {
     "text_stats": _q_text_stats,
     "fingerprints": _q_fingerprints,
@@ -1149,6 +1211,7 @@ _EXTRA_QUERIES = {
     "embedding_pairs": _q_embedding_pairs,
     "lsh_near_dups": _q_lsh_near_dups,
     "lsh_topk": _q_lsh_topk,
+    "ivf_topk": _q_ivf_topk,
 }
 
 _EXTRA_ORACLES = {
@@ -1167,6 +1230,7 @@ _EXTRA_ORACLES = {
     "embedding_pairs": _ORACLE_EMBEDDING_PAIRS,
     "lsh_near_dups": _lsh_near_dups_oracle_sql(),
     "lsh_topk": _lsh_topk_oracle_sql(),
+    "ivf_topk": _ORACLE_IVF_TOPK,
 }
 
 _BASE_QUERIES = queries

@@ -330,3 +330,40 @@ def test_lsh_signature_null_vectors(spark):
     sigs = {r["vec_id"]: r["sig"] for r in out}
     assert sigs[2] is None and sigs[4] is None
     assert sigs[1] is not None and sigs[3] is not None
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF coarse quantization + in-cell rerank must find most exact top-1
+    neighbors at small scale (nprobe=2 of 16 cells)."""
+    from quake3_log_analyser_spark.operators.ann import cosine_topk, ivf_topk
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, qs, k=5).collect()
+    approx = ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=2).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rnk"] == 1}
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n1 in exact_top1.items() if n1 in approx_sets.get(q, set()))
+    assert hits >= 3, f"IVF found top-1 for only {hits}/5 queries"
+
+
+def test_ivf_cells_null_vectors_and_determinism(spark):
+    import numpy as np
+
+    from quake3_log_analyser_spark.operators.ann import ivf_cells
+
+    cent = np.eye(4)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 0.0]), (2, None), (3, [0.0, 0.0, 0.9, 0.4])],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["cells"]
+        for r in df.select(
+            "vec_id", ivf_cells(F.col("embedding"), cent, 2).alias("cells")
+        ).collect()
+    }
+    assert out[2] is None
+    assert out[1][0] == 0 and out[3][0] == 2  # nearest axis centroid
+    assert len(out[1]) == 2
