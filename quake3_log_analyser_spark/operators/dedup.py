@@ -47,7 +47,8 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_survivors(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    salts: int = 1,
 ) -> DataFrame:
     """The actual dedup OUTPUT: which doc each exact duplicate collapses to.
 
@@ -55,13 +56,27 @@ def dedup_survivors(
     survivor per fingerprint group is the minimum id — deterministic).
     Anti-joining this against the corpus yields the deduplicated table;
     shuffle-by-fingerprint, never all-pairs.
+
+    The keepers computation itself is skew-immune (min is decomposed into
+    a map-side partial), but the join BACK to the corpus puts every row of
+    a hot fingerprint — a doc duplicated millions of times in a crawl —
+    into one task.  ``salts > 1`` routes it through
+    ``operators.skew.salted_join`` (big side salted, 1-row-per-fp keepers
+    side exploded), splitting the hot key across ``salts`` tasks; AQE's
+    skew-join handles the same case adaptively when stats surface it.
     """
     keyed = df.select(
         F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
     )
     keepers = keyed.groupBy("fp").agg(F.min("doc_id").alias("kept_doc_id"))
+    if salts > 1:
+        from .skew import salted_join
+
+        joined = salted_join(keyed, keepers, "fp", salts=salts)
+    else:
+        joined = keyed.join(keepers, "fp")
     return (
-        keyed.join(keepers, "fp")
+        joined
         .filter(F.col("doc_id") != F.col("kept_doc_id"))
         .select("doc_id", "kept_doc_id")
     )

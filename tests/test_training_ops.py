@@ -367,3 +367,47 @@ def test_ivf_cells_null_vectors_and_determinism(spark):
     assert out[2] is None
     assert out[1][0] == 0 and out[3][0] == 2  # nearest axis centroid
     assert len(out[1]) == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's multiset under a
+    pathologically hot key (one key holds ~90% of the big side)."""
+    from quake3_log_analyser_spark.operators.skew import salted_join
+
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = big.groupBy("k").agg(F.min("payload").alias("m"))
+    plain = {(r["k"], r["payload"], r["m"]) for r in big.join(small, "k").collect()}
+    salted = [
+        (r["k"], r["payload"], r["m"])
+        for r in salted_join(big, small, "k", salts=8).collect()
+    ]
+    assert set(salted) == plain and len(salted) == 1000
+    # left joins keep unmatched rows exactly once
+    small2 = small.filter(F.col("k") != "hot")
+    left = salted_join(big, small2, "k", salts=8, how="left").collect()
+    assert len(left) == 1000
+    assert sum(1 for r in left if r["m"] is None) == 900
+
+
+def test_dedup_survivors_salted_parity(spark, docs):
+    """The salted survivor join returns the identical mapping — including
+    with an injected viral doc (300 copies of one text)."""
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
+
+    viral = spark.range(300).select(
+        (F.col("id") + 50000).alias("doc_id"),
+        F.lit("the same viral text everywhere").alias("text"),
+        F.lit("en").alias("lang"), F.lit("x").alias("source"),
+        F.lit(30).alias("n_chars"),
+    )
+    corpus = docs.unionByName(viral)
+    plain = {(r["doc_id"], r["kept_doc_id"]) for r in dedup_survivors(corpus).collect()}
+    salted = {(r["doc_id"], r["kept_doc_id"])
+              for r in dedup_survivors(corpus, salts=8).collect()}
+    assert salted == plain
+    assert sum(1 for d, k in salted if k == 50000) == 299  # viral collapses
