@@ -1055,8 +1055,11 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    # dim pinned to the oracle's literal plane matrix — if the fixture's
+    # embedding width ever changes, Spark fails fast on the mismatched
+    # matmul instead of silently diverging from the 64-d oracle planes
     pairs = embedding_near_dups(
-        as_double, threshold=-1.0, n_planes=8, bands=4, seed=42
+        as_double, threshold=-1.0, n_planes=8, bands=4, seed=42, dim=64
     )
     return pairs.filter(F.round("cosine", 3) >= 0.3).select(
         "doc_a", "doc_b", F.round("cosine", 3).alias("cosine")
@@ -1095,7 +1098,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = as_double.filter(F.col("vec_id") < 10)
     cands = lsh_cosine_topk(
-        as_double, qs, k=1_000_000, n_planes=8, bands=4, seed=42
+        as_double, qs, k=1_000_000, n_planes=8, bands=4, seed=42, dim=64
     ).withColumn("cosine_r", F.round("cosine", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_r"), F.asc("neighbor_id")

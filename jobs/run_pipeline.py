@@ -66,10 +66,27 @@ def main() -> None:
         units = run_resumable(
             spark, transcripts, args.output, args.checkpoint,
             run_id=args.run_id, n_units=args.n_units,
+            pedantic=args.pedantic,
         )
         print(f"resumable run {args.run_id}: processed units {units}")
+        if args.verbose and units:
+            # the resumable pass already commits per-unit issue metrics —
+            # surface the rows this run produced
+            ck = spark.read.parquet(args.checkpoint)
+            for r in ck.filter(ck.run_id == args.run_id).collect():
+                print(
+                    f"log_issues {r['unit']}: rows={r['n_input_rows']} "
+                    f"parse_errors={r['n_parse_errors']} "
+                    f"matches={r['n_matches']}"
+                )
     else:
-        sessionized = sessionize(parse_transcripts(transcripts))
+        # pedantic gates the SINKS parse too: the in-task raise fires
+        # during the first write job, so no sink output ever commits from
+        # a run that must fail on the first malformed line (the reference
+        # --pedantic aborts before emitting anything)
+        sessionized = sessionize(
+            parse_transcripts(transcripts, pedantic=args.pedantic)
+        )
         obs = None
         if args.verbose:
             from quake3_log_analyser_spark.plans.checkpoint import (

@@ -346,11 +346,11 @@ def ivf_topk(
             F.explode(ivf_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
         )
     )
-    cands = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # no dedup needed (contrast lsh_cosine_topk): a corpus row lives in
+    # exactly ONE cell and a query's probed cells are distinct, so a
+    # (query, neighbor) pair cannot occur twice — a dropDuplicates here
+    # would be a full extra shuffle over the candidate set for nothing
+    cands = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
         "cosine",
         (

@@ -230,17 +230,20 @@ def extract_features(
     one Python worker per partition, whole Arrow batches in and out.
 
     ``fake_decoder=False`` runs the REAL image decode (PPM/BMP always;
-    PNG/JPEG when Pillow is importable) followed by ``image_features``;
-    the fake path keeps audio/video (no codecs here) testable.
+    PNG/JPEG when Pillow is importable) followed by ``image_features`` —
+    dispatched PER KIND: only ``kind == "image"`` rows hit the image
+    decoder, audio/video rows always take the deterministic fake path (no
+    audio/video codecs in this container), so a mixed media table never
+    crashes on a non-image payload.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes = [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
-                if fake_decoder:
+                if fake_decoder or kind != "image":
                     feats.append(_fake_decode(b, dim).tolist())
                 else:
                     feats.append(image_features(decode_image(b), dim).tolist())

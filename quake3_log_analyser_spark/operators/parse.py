@@ -87,6 +87,15 @@ def parse_transcripts(
     """
     if parser == "auto":
         parser = choose_parser(fields)
+    if pedantic and parser != "arrow":
+        # never degrade a safety flag to a no-op: the in-task raise only
+        # exists on the arrow path; expr/pandas callers must gate via
+        # fail_on_feed_errors on the parsed columns (plans/pipeline.py does)
+        raise ValueError(
+            f"pedantic=True is enforced in-task only by parser='arrow' "
+            f"(got {parser!r}); wrap the result in fail_on_feed_errors "
+            "for the expression/pandas parsers instead"
+        )
     # pass through every non-event column (includes match columns when the
     # caller sessionized on raw text first — see sessionize_raw)
     cols = [c for c in df.columns if c not in EVENT_COLUMN_NAMES]

@@ -61,7 +61,22 @@ def salted_join(
     the survivor-mapping join in dedup, dimension-ish lookups with a few
     hot keys.  Cost: ``salts``x replication of the small side through the
     shuffle; keep ``salts`` at O(tasks-per-hot-key), not hundreds.
+
+    ``how`` is restricted to joins whose output multiplicity the salting
+    provably preserves (inner/left/cross from the big side, semi/anti):
+    right and full outer would emit one null-padded row per salt value the
+    big side didn't draw for an unmatched small key — silently wrong, so
+    they raise.
     """
+    SAFE = {"inner", "left", "leftouter", "left_outer", "leftsemi",
+            "left_semi", "semi", "leftanti", "left_anti", "anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in SAFE}:
+        raise ValueError(
+            f"salted_join cannot preserve row multiplicity for how={how!r}: "
+            "an unmatched small-side key would surface once per salt. "
+            "Swap the sides (make the salted side the preserved one) or "
+            "use AQE skew-join for right/full outer."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if salts < 2:
         return big.join(small, keys, how)

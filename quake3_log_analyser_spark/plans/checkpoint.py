@@ -152,10 +152,17 @@ def commit_unit(
     commit_units(spark, checkpoint_path, run_id, {unit: metrics})
 
 
-def _build_unit_run(transcripts: DataFrame, pending: list[int], n_units: int):
+def _build_unit_run(
+    transcripts: DataFrame,
+    pending: list[int],
+    n_units: int,
+    pedantic: bool = False,
+):
     """Shared single-pass core: pending-unit filter -> parse -> sessionize
     (with per-unit observe metrics) -> summaries re-keyed by convhash.
-    Returns (summaries_df, observation)."""
+    Returns (summaries_df, observation).  ``pedantic=True`` makes the
+    (arrow) parse task raise on the first malformed line — the unit's
+    partition write then fails before committing anything."""
     from ..operators.parse import parse_transcripts
     from ..operators.sessionize import sessionize
     from ..operators.summarize import summarize_kills_only
@@ -164,7 +171,7 @@ def _build_unit_run(transcripts: DataFrame, pending: list[int], n_units: int):
     part = transcripts.withColumn("convhash", unit_col).filter(
         F.col("convhash").isin(pending)
     )
-    sess = sessionize(parse_transcripts(part))
+    sess = sessionize(parse_transcripts(part, pedantic=pedantic))
 
     obs = Observation("checkpoint_metrics")
     exprs = []
@@ -210,6 +217,7 @@ def run_resumable(
     checkpoint_path: str,
     run_id: str,
     n_units: int = 16,
+    pedantic: bool = False,
 ) -> list[str]:
     """Process the table's uncommitted conv_id-hash units in ONE pass.
 
@@ -224,7 +232,7 @@ def run_resumable(
         return []
 
     t0 = time.perf_counter()
-    summaries, obs = _build_unit_run(transcripts, pending, n_units)
+    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic)
     (
         summaries.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -256,6 +264,7 @@ def run_resumable_iceberg(
     checkpoint_table: str,
     run_id: str,
     n_units: int = 16,
+    pedantic: bool = False,
 ) -> list[str]:
     """Snapshot-based idempotent resume on Iceberg tables (the 100 TB
     deployment posture; requires the Iceberg Spark runtime jars).
@@ -279,7 +288,7 @@ def run_resumable_iceberg(
         return []
 
     t0 = time.perf_counter()
-    summaries, obs = _build_unit_run(transcripts, pending, n_units)
+    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic)
     if spark.catalog.tableExists(summaries_table):
         summaries.writeTo(summaries_table).overwritePartitions()
     else:

@@ -490,13 +490,15 @@ def test_early_discard_equals_unfiltered_on_fixtures(spark):
     (which contain say/chat lines with arbitrary content) by comparing the
     filtered pipeline to a parser-forced run without it (stop_on_feed_errors
     unused, so only the filter differs)."""
+    checked = 0
     for fixture, root in [
         ("qgames_permissive.log", FIXTURES_BLL),
         ("discrepant.log", FIXTURES_BLL),
     ]:
         path = root / fixture
         if not path.exists():
-            pytest.skip("reference fixture unavailable")
+            continue  # check every available fixture independently
+        checked += 1
         t = transcripts_from_file(spark, str(path), fixture)
         for ops in (BASIC, frozenset({"kills", "means_of_death", "reported_scores"})):
             with_filter = summarize_matches(t, ops=ops).collect()
@@ -508,3 +510,5 @@ def test_early_discard_equals_unfiltered_on_fixtures(spark):
                 [(r["conv_id"], r["match_id"], r["total_kills"],
                   tuple(r["players"] or []), r["error"]) for r in baseline], key=str
             )
+    if not checked:
+        pytest.skip("no reference fixtures available")

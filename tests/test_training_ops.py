@@ -411,3 +411,43 @@ def test_dedup_survivors_salted_parity(spark, docs):
               for r in dedup_survivors(corpus, salts=8).collect()}
     assert salted == plain
     assert sum(1 for d, k in salted if k == 50000) == 299  # viral collapses
+
+
+def test_salted_join_rejects_multiplicity_breaking_how(spark):
+    from quake3_log_analyser_spark.operators.skew import salted_join
+
+    df = spark.range(4).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="multiplicity"):
+        salted_join(df, df, "k", salts=4, how="right")
+    with pytest.raises(ValueError, match="multiplicity"):
+        salted_join(df, df, "k", salts=4, how="full_outer")
+
+
+def test_extract_features_real_decoder_mixed_kinds(spark):
+    """A mixed media table (image + audio + video) must not crash the real
+    decoder path: only image rows hit decode_image, the rest take the
+    deterministic fake path."""
+    from quake3_log_analyser_spark.operators.multimodal import (
+        extract_features,
+        synthetic_image_media,
+        synthetic_media,
+    )
+
+    av_only = synthetic_media(spark, 9).filter(F.col("kind") != "image")
+    mixed = av_only.unionByName(
+        synthetic_image_media(spark, n=3).select(
+            (F.col("media_id") + 1000).alias("media_id"), "kind", "payload", "meta"
+        )
+    )
+    n_av = av_only.count()
+    rows = extract_features(mixed, dim=8, fake_decoder=False).collect()
+    assert len(rows) == n_av + 3 and all(len(r["feature"]) == 8 for r in rows)
+
+
+def test_parse_pedantic_rejects_non_arrow_parsers(spark):
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.sources.transcripts import transcripts_from_lines
+
+    t = transcripts_from_lines(spark, [" 0:00 ShutdownGame:"], "c0")
+    with pytest.raises(ValueError, match="arrow"):
+        parse_transcripts(t, parser="expr", pedantic=True)
