@@ -41,6 +41,11 @@ def _num(arr, regex: str, lo: int, hi: int):
     """Rust str::parse semantics: full regex match -> i64, else null."""
     ok = pc.coalesce(pc.match_substring_regex(arr, regex), pa.scalar(False))
     gated = pc.if_else(ok, arr, _NULL_STR)
+    # Rust's u32/i32 parse accepts a leading '+' ("+7" -> 7) and the regex
+    # gate lets it through — but pyarrow's string->int cast REJECTS it
+    # (ArrowInvalid crashes the whole batch, found by the fuzz suite), so
+    # strip it before the cast
+    gated = pc.replace_substring_regex(gated, r"^\+", "")
     v = pc.cast(gated, pa.int64())
     in_range = pc.and_kleene(pc.greater_equal(v, lo), pc.less_equal(v, hi))
     return pc.if_else(pc.coalesce(in_range, pa.scalar(False)), v, _NULL_I64)

@@ -356,9 +356,19 @@ def parse_expr_df(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat(
                 F.col("parse_error_kind"),
                 F.lit(" at event '"),
-                F.coalesce(en, F.lit("")),
+                # canonical (arrow) split semantics: no first space -> the
+                # line has NO event segment at all (render ''); a space but
+                # no colon -> the whole rest IS the (unterminated) event
+                # name.  expr's substr-based temps would otherwise leak the
+                # raw line into these renders (found by the fuzz suite).
+                F.when(F.col("_sp") == 0, F.lit(""))
+                .when(F.col("_co") == 0, F.col("_rest"))
+                .otherwise(F.coalesce(en, F.lit(""))),
                 F.lit("': '"),
-                F.coalesce(data, text, F.lit("")),
+                F.when(
+                    (F.col("_sp") > 0) & (F.col("_co") > 0),
+                    F.coalesce(data, F.lit("")),
+                ).otherwise(F.lit("")),
                 F.lit("'"),
             ),
         ),

@@ -77,22 +77,18 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
     for c in int_cols:
         out[c] = pd.array([pd.NA] * n, dtype="Int64")
 
-    def set_err(mask: pd.Series, kind: str, detail) -> None:
+    def set_err(mask: pd.Series, kind: str) -> None:
         out.loc[mask, "parse_error_kind"] = kind
-        if isinstance(detail, str):
-            out.loc[mask, "parse_error"] = detail
-        else:
-            out.loc[mask, "parse_error"] = detail[mask]
 
     stripped = texts.str.lstrip(" ")
     empty = stripped.str.len() == 0
-    set_err(empty, "EmptyLine", "EmptyLine")
+    set_err(empty, "EmptyLine")
 
     part = stripped.str.partition(" ")
     has_space = part[1] == " "
     rest = part[2]
     bad_fmt = ~empty & ~has_space
-    set_err(bad_fmt, "UnrecognizedLineFormat", "UnrecognizedLineFormat")
+    set_err(bad_fmt, "UnrecognizedLineFormat")
 
     live = ~empty & has_space
     comment = live & rest.str.startswith("-")
@@ -101,7 +97,7 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
     cpart = rest.str.partition(":")
     has_colon = cpart[1] == ":"
     no_colon = live & ~comment & ~has_colon
-    set_err(no_colon, "UnrecognizedLineFormat", "UnrecognizedLineFormat")
+    set_err(no_colon, "UnrecognizedLineFormat")
 
     live = live & ~comment & has_colon
     event_name = cpart[0]
@@ -126,28 +122,20 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         out.loc[ok, "event_type"] = ename
         out.loc[ok, "client_id"] = ids[ids.notna()]
         bad = m & ~ok
-        set_err(
-            bad, "UnparseableNumber",
-            "event '" + event_name + "': UnparseableNumber { key_name: \"client id\", observed_data: \"" + data + "\" }",
-        )
+        set_err(bad, "UnparseableNumber")
 
     # ---- ClientUserinfoChanged (rs:66-75) --------------------------------
     m = live & (event_name == "ClientUserinfoChanged")
     if m.any():
         up = data.str.partition(" ")
         has_sp = m & (up[1] == " ")
-        set_err(m & ~has_sp, "UnknownDataFormat",
-                "event 'ClientUserinfoChanged': UnknownDataFormat: '" + data + "'")
+        set_err(m & ~has_sp, "UnknownDataFormat")
         ids = _u32(up[0])
         id_ok = has_sp & ids.notna()
-        set_err(
-            has_sp & ids.isna(), "UnparseableNumber",
-            "event 'ClientUserinfoChanged': UnparseableNumber { key_name: \"client id\", observed_data: \"" + up[0] + "\" }",
-        )
+        set_err(has_sp & ids.isna(), "UnparseableNumber")
         names = _kv_get(up[2], "n")
         named = id_ok & names.notna()
-        set_err(id_ok & names.isna(), "AbsentKey",
-                "event 'ClientUserinfoChanged': AbsentKey { key_name: \"n\" }")
+        set_err(id_ok & names.isna(), "AbsentKey")
         out.loc[named, "event_type"] = "ClientUserinfoChanged"
         out.loc[named, "client_id"] = ids[named]
         out.loc[named, "name"] = names[named]
@@ -184,8 +172,7 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         out.loc[ok, "killer_name"] = dp[0][ok_local]
         out.loc[ok, "victim_name"] = rp[0][ok_local]
         out.loc[ok, "reason_name"] = rp[1][ok_local]
-        set_err(m & ~ok, "UnknownDataFormat",
-                "event 'Kill': UnknownDataFormat: '" + data + "'")
+        set_err(m & ~ok, "UnknownDataFormat")
 
     # ---- red (CTF results, rs:127-137) ------------------------------------
     m = live & (event_name == "red")
@@ -206,13 +193,11 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         # (deserializer_logs.rs:128-137): split -> UDF, red number -> UPN,
         # blue split -> UDF, blue number -> UPN
         badf = _submask(m, (~fmt_ok | (fmt_ok & red_v.notna() & ~blue_fmt_ok)).to_numpy())
-        set_err(badf, "UnknownDataFormat", "event 'red': UnknownDataFormat: '" + data + "'")
+        set_err(badf, "UnknownDataFormat")
         badr = _submask(m, (fmt_ok & red_v.isna()).to_numpy())
-        set_err(badr, "UnparseableNumber",
-                "event 'red': UnparseableNumber { key_name: \"red score\", observed_data: \"" + data + "\" }")
+        set_err(badr, "UnparseableNumber")
         badb = _submask(m, (fmt_ok & red_v.notna() & blue_fmt_ok & blue_v.isna()).to_numpy())
-        set_err(badb, "UnparseableNumber",
-                "event 'red': UnparseableNumber { key_name: \"blue score\", observed_data: \"" + data + "\" }")
+        set_err(badb, "UnparseableNumber")
 
     # ---- score (rs:138-150) -------------------------------------------------
     m = live & (event_name == "score")
@@ -234,20 +219,29 @@ def parse_lines_pd(texts: pd.Series) -> pd.DataFrame:
         # precedence mirrors the reference (deserializer_logs.rs:138-150):
         # split -> UDF, frags -> UPN, client split(s) -> UDF, client id -> UPN
         badf = _submask(m, (~fmt_ok | (fmt_ok & frags_v.notna() & ~cv_ok)).to_numpy())
-        set_err(badf, "UnknownDataFormat", "event 'score': UnknownDataFormat: '" + data + "'")
+        set_err(badf, "UnknownDataFormat")
         badfr = _submask(m, (fmt_ok & frags_v.isna()).to_numpy())
-        set_err(badfr, "UnparseableNumber",
-                "event 'score': UnparseableNumber { key_name: \"frags\", observed_data: \"" + data + "\" }")
+        set_err(badfr, "UnparseableNumber")
         badc = _submask(m, (fmt_ok & frags_v.notna() & cv_ok & cid.isna()).to_numpy())
-        set_err(badc, "UnparseableNumber",
-                "event 'score': UnparseableNumber { key_name: \"client_id\", observed_data: \"" + data + "\" }")
+        set_err(badc, "UnparseableNumber")
 
     # ---- unknown event name (rs:152) ---------------------------------------
     known = {"InitGame", "ClientConnect", "ClientUserinfoChanged", "ClientBegin",
              "ClientDisconnect", "Item", "say", "Kill", "Exit", "red", "score",
              "ShutdownGame"}
     m = live & ~event_name.isin(known)
-    set_err(m, "UnknownEventName", "event '" + event_name + "': UnknownEventName")
+    set_err(m, "UnknownEventName")
+
+    # canonical error rendering — identical formula to the arrow parser
+    # (and expr): kind + " at event '<name>': '<data>'", empty strings
+    # where the line never produced the segment
+    err = out["parse_error_kind"].notna()
+    if err.any():
+        out.loc[err, "parse_error"] = (
+            out.loc[err, "parse_error_kind"].astype(str)
+            + " at event '" + event_name[err].fillna("")
+            + "': '" + data[err].fillna("") + "'"
+        )
 
     return out
 

@@ -1,0 +1,123 @@
+"""Property-based differential tests (hypothesis).
+
+Two contracts that fixture goldens cannot exhaust:
+
+* the three parser implementations (expr / arrow / pandas) are ONE
+  semantics — any line, however adversarial, must produce identical typed
+  rows from all three;
+* the vectorized kills-only aggregation and the exact replay fold are ONE
+  semantics for the operator set both support — any event sequence must
+  produce the same per-match summaries from both.
+
+Spark-aware knobs: few examples, no deadline (a Spark job per example),
+and the module-scoped session fixture is exempted from the
+function-scoped-fixture health check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quake3_log_analyser_spark.sources.transcripts import transcripts_from_lines
+
+# printable-ish payload text: no newlines (line-oriented source), allow
+# the grammar's own metacharacters (colons, backslashes, spaces) so the
+# parsers' splitting logic gets hit hard
+_payload = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\n\r", categories=("L", "N", "P", "S", "Zs")
+    ),
+    max_size=24,
+)
+_num = st.one_of(
+    st.integers(min_value=-(10**19), max_value=10**19).map(str),
+    st.just(""), st.just("+7"), st.just("007"), st.just("4294967295"),
+    st.just("4294967296"), _payload,
+)
+
+
+def _kill_line(a, b, c, x, y, z):
+    return f" 0:01 Kill: {a} {b} {c}: {x} killed {y} by {z}"
+
+
+_line = st.one_of(
+    _payload,  # raw garbage (often -> error rows)
+    st.just(""),
+    st.just("   "),
+    st.builds(_kill_line, _num, _num, _num, _payload, _payload, _payload),
+    st.builds(lambda v: f" 0:00 InitGame: {v}", _payload),
+    st.builds(lambda i, kv: f" 0:00 ClientUserinfoChanged: {i} {kv}", _num, _payload),
+    st.builds(lambda i: f" 0:00 ClientConnect: {i}", _num),
+    st.builds(lambda i: f" 0:00 ClientDisconnect: {i}", _num),
+    st.builds(
+        lambda f, i, n: f" 0:01 score: {f}  ping: 3  client: {i} {n}", _num, _num, _payload
+    ),
+    st.builds(lambda r, b: f" 0:01 red: {r}  blue: {b}", _num, _num),
+    st.just(" 0:02 Exit: Timelimit hit."),
+    st.just(" 0:02 ShutdownGame:"),
+    st.just(" 0:00 ------------"),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=1, max_size=30))
+def test_three_parsers_agree_on_arbitrary_lines(spark, lines):
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.schemas import EVENT_COLUMN_NAMES
+
+    t = transcripts_from_lines(spark, lines, "fuzz")
+    results = {}
+    for parser in ("expr", "arrow", "pandas"):
+        rows = (
+            parse_transcripts(t, parser=parser)
+            .select("turn_idx", *EVENT_COLUMN_NAMES)
+            .collect()
+        )
+        results[parser] = sorted(tuple(r) for r in rows)
+    assert results["expr"] == results["arrow"], "expr vs arrow diverged"
+    assert results["expr"] == results["pandas"], "expr vs pandas diverged"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=1, max_size=25))
+def test_vectorized_equals_fold_on_arbitrary_sequences(spark, lines):
+    """kills-only vectorized aggregation == exact replay fold, on any
+    event sequence.  Summary rows must be identical; error rows are
+    compared only on the event-MODEL violations both op menus emit —
+    the fold's player_resolutions op additionally reports registry logic
+    errors (ClientNotConnected / DoubleConnect) that the reference's
+    kills-only config, by design, does not run."""
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = transcripts_from_lines(spark, lines, "fuzz")
+    vec = summarize_matches(t, ops={"kills"}).collect()
+    fold = summarize_matches(t, ops={"kills", "player_resolutions"}).collect()
+
+    def common(rows):
+        return sorted(
+            (
+                r["conv_id"], r["match_id"], r["total_kills"],
+                tuple(r["players"] or []),
+                tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
+                r["graceful"], r["error"],
+            )
+            for r in rows
+            # compose-level violations only (DoubleInit / GameNotStarted):
+            # the registry kinds (ClientNotConnected / DoubleConnect /
+            # Discrepant...) exist only under player_resolutions
+            if r["error"] is None
+            or r["error"].endswith("DoubleInit")
+            or r["error"].endswith("GameNotStarted")
+        )
+
+    assert common(vec) == common(fold)
