@@ -121,3 +121,70 @@ def test_vectorized_equals_fold_on_arbitrary_sequences(spark, lines):
         )
 
     assert common(vec) == common(fold)
+
+
+def test_parsers_agree_on_seeded_random_corpus(spark):
+    """Deterministic mega-fuzz: 3000 seeded random lines (grammar-shaped,
+    mutated, and raw garbage) through all three parsers in ONE job each —
+    orders of magnitude more coverage per second than per-example
+    property runs, and fully reproducible."""
+    import random
+
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.schemas import EVENT_COLUMN_NAMES
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = "abz AZ09:\\-_+<>{}()'\"|.é世"
+
+    def rtext(n):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(n)))
+
+    def rnum():
+        return rng.choice(
+            ["", "0", "7", "+7", "-3", "007", "4294967295", "4294967296",
+             "99999999999999999999", rtext(6)]
+        )
+
+    lines = []
+    for _ in range(3000):
+        k = rng.randrange(12)
+        if k == 0:
+            lines.append(rtext(40))
+        elif k == 1:
+            lines.append(f" 0:01 Kill: {rnum()} {rnum()} {rnum()}: "
+                         f"{rtext(10)} killed {rtext(10)} by {rtext(10)}")
+        elif k == 2:
+            lines.append(f" 0:00 InitGame: {rtext(30)}")
+        elif k == 3:
+            lines.append(f" 0:00 ClientUserinfoChanged: {rnum()} {rtext(20)}")
+        elif k == 4:
+            lines.append(f" 0:00 Client{rng.choice(['Connect','Begin','Disconnect'])}: {rnum()}")
+        elif k == 5:
+            lines.append(f" 0:01 score: {rnum()}  ping: 3  client: {rnum()} {rtext(8)}")
+        elif k == 6:
+            lines.append(f" 0:01 red: {rnum()}  blue: {rnum()}")
+        elif k == 7:
+            lines.append(rng.choice(["", "   ", " 0:02 Exit: x", " 0:02 ShutdownGame:",
+                                     " 0:00 ---- comment ----", " 0:01 say: hi: there"]))
+        elif k == 8:
+            lines.append(f" 0:01 {rtext(12)}: {rtext(20)}")  # random event name
+        else:
+            # mutate a valid kill line: drop/duplicate a random char
+            base = " 0:01 Kill: 2 3 7: A killed B by MOD_ROCKET"
+            i = rng.randrange(len(base))
+            lines.append(base[:i] + base[i + rng.randrange(2):])
+
+    t = transcripts_from_lines(spark, lines, "megafuzz")
+    results = {}
+    for parser in ("expr", "arrow", "pandas"):
+        rows = (
+            parse_transcripts(t, parser=parser)
+            .select("turn_idx", *EVENT_COLUMN_NAMES)
+            .collect()
+        )
+        results[parser] = sorted(tuple(r) for r in rows)
+    for a, b in (("expr", "arrow"), ("expr", "pandas")):
+        diffs = [
+            (x, y) for x, y in zip(results[a], results[b]) if x != y
+        ]
+        assert not diffs, f"{a} vs {b}: first diff {diffs[0]}"
