@@ -105,11 +105,19 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
     # so the 16M-row first-level aggregation keeps only sum/count/max — pure
     # codegen HashAggregate.  Collecting (turn_idx, violation) structs here
     # instead demotes the whole level to ObjectHashAggregate: measured 5x
-    # slower end-to-end at 16M turns.  "\x00" cannot appear in player names
-    # (the line grammar never produces it).  The 12-digit zero-pad makes the
+    # slower end-to-end at 16M turns.  The 12-digit zero-pad makes the
     # later lexicographic array_sort equal STREAM (turn_idx) order — without
     # it 'Event #10…' sorts before 'Event #9…', surprising consumers that
     # assume the reference's within-match emission order.
+    #
+    # Sentinel recognition matches the FULL shape ("\x00" + 12 digits +
+    # "Event #"), not just the NUL prefix: web-scale log text can contain
+    # NUL bytes, and a player named "\x00evil" must stay a player (found
+    # by a NUL-injection probe — the prefix-only check silently dropped
+    # the kill and emitted a garbage error row).  Residual collision needs
+    # a name reproducing the entire sentinel shape byte-for-byte —
+    # adversarial-input territory the reference's own renderer also
+    # cannot distinguish.
     violation_sentinel = F.concat(
         F.lit("\x00"),
         F.lpad(F.col("turn_idx").cast("string"), 12, "0"),
@@ -138,7 +146,9 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
         F.max("completed").alias("completed"),
         F.max("graceful").alias("graceful"),
     )
-    is_sentinel = F.col("frag_name").startswith("\x00")
+    is_sentinel = F.col("frag_name").startswith("\x00") & F.col(
+        "frag_name"
+    ).rlike("^\x00[0-9]{12}Event #")
     is_player = F.col("frag_name").isNotNull() & ~is_sentinel
     kill_entry = F.when(
         is_player,

@@ -512,3 +512,20 @@ def test_early_discard_equals_unfiltered_on_fixtures(spark):
             )
     if not checked:
         pytest.skip("no reference fixtures available")
+
+
+def test_nul_prefixed_player_name_is_not_a_sentinel(spark):
+    """Web-scale log text can contain NUL bytes: a player named '\\x00evil'
+    must be aggregated as a player, not mistaken for a violation sentinel
+    (the prefix-only check dropped the kill and emitted a garbage error)."""
+    lines = [
+        init_game(),
+        " 0:01 Kill: 2 3 7: \x00evil killed Bob by MOD_ROCKET",
+        shutdown(),
+    ]
+    rows = run(spark, lines, BASIC)
+    s = summaries(rows)
+    assert len(s) == 1 and not errors(rows)
+    assert s[0]["total_kills"] == 1
+    assert s[0]["players"] == ["\x00evil"]
+    assert kills_map(s[0]) == {"\x00evil": 1}
