@@ -21,8 +21,8 @@ from collections.abc import Iterator
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_U32_RE = r"^\+?[0-9]{1,18}$"   # >18 digits would overflow the i64 cast —
-_I32_RE = r"^[+-]?[0-9]{1,18}$"  # Rust's u32/i32 parse overflows there too
+_U32_RE = r"^\+?[0-9]+$"    # Rust u32/i32 parse: optional sign + digits of ANY
+_I32_RE = r"^[+-]?[0-9]+$"  # length — "0000000000000000007" is 7, not overflow
 _U32_MAX = 4294967295
 _I32_MIN, _I32_MAX = -2147483648, 2147483647
 
@@ -38,14 +38,21 @@ def _split_get(arr, pattern: str, n: int, max_splits: int | None = None):
 
 
 def _num(arr, regex: str, lo: int, hi: int):
-    """Rust str::parse semantics: full regex match -> i64, else null."""
+    """Rust str::parse semantics: full sign?digits match of ANY length,
+    normalized (leading zeros stripped — "0000000000000000007" parses to 7
+    in Rust/expr/pandas, so a fixed-width digit cap would diverge), then a
+    post-normalization 18-digit magnitude guard keeps the i64 cast from
+    overflowing, and the u32/i32 range guard applies last.  The '+' sign
+    is stripped pre-cast: pyarrow's string->int cast rejects it with a
+    batch-fatal ArrowInvalid (both found by the fuzz/review passes)."""
     ok = pc.coalesce(pc.match_substring_regex(arr, regex), pa.scalar(False))
     gated = pc.if_else(ok, arr, _NULL_STR)
-    # Rust's u32/i32 parse accepts a leading '+' ("+7" -> 7) and the regex
-    # gate lets it through — but pyarrow's string->int cast REJECTS it
-    # (ArrowInvalid crashes the whole batch, found by the fuzz suite), so
-    # strip it before the cast
+    gated = pc.replace_substring_regex(gated, r"^([+-]?)0+([0-9])", r"\1\2")
     gated = pc.replace_substring_regex(gated, r"^\+", "")
+    fits = pc.coalesce(
+        pc.match_substring_regex(gated, r"^-?[0-9]{1,18}$"), pa.scalar(False)
+    )
+    gated = pc.if_else(fits, gated, _NULL_STR)
     v = pc.cast(gated, pa.int64())
     in_range = pc.and_kleene(pc.greater_equal(v, lo), pc.less_equal(v, hi))
     return pc.if_else(pc.coalesce(in_range, pa.scalar(False)), v, _NULL_I64)

@@ -29,9 +29,19 @@ _I32_RE = r"^[+-]?[0-9]+$"
 
 
 def _num(s: pd.Series, pattern: str, lo: int, hi: int) -> pd.Series:
-    """Full-match numeric parse -> nullable Int64 (None on failure)."""
+    """Full-match numeric parse -> nullable Int64 (None on failure).
+
+    Leading zeros are stripped and an 18-digit magnitude guard applied
+    BEFORE ``to_numeric``: one unparseable-as-int value in a batch flips
+    to_numeric into its float64 path, whose parser returns 0.0 for long
+    leading-zero strings like '0000000000000000007' (found by the seeded
+    mega-fuzz) — normalization keeps every accepted value on the exact
+    integer path.  Matches Rust str::parse and the arrow/expr parsers."""
     ok = s.str.match(pattern, na=False)
-    out = pd.to_numeric(s.where(ok), errors="coerce")
+    norm = s.where(ok).str.replace(r"^([+-]?)0+([0-9])", r"\1\2", regex=True)
+    norm = norm.str.replace(r"^\+", "", regex=True)
+    fits = norm.str.match(r"^-?[0-9]{1,18}$", na=False)
+    out = pd.to_numeric(norm.where(fits), errors="coerce")
     out = out.where((out >= lo) & (out <= hi))
     return out.astype("Int64")
 

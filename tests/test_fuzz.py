@@ -34,7 +34,7 @@ _payload = st.text(
 _num = st.one_of(
     st.integers(min_value=-(10**19), max_value=10**19).map(str),
     st.just(""), st.just("+7"), st.just("007"), st.just("4294967295"),
-    st.just("4294967296"), _payload,
+    st.just("4294967296"), st.just("0000000000000000007"), _payload,
 )
 
 
@@ -104,11 +104,14 @@ def test_vectorized_equals_fold_on_arbitrary_sequences(spark, lines):
     fold = summarize_matches(t, ops={"kills", "player_resolutions"}).collect()
 
     def common(rows):
+        # players/kills maps legitimately DIVERGE across the op menus:
+        # player_resolutions registers connect/userinfo names and moves
+        # disconnected players' kills (reference semantics) — compare the
+        # op-independent facts only; the full-row parity for registration-
+        # free sequences is pinned by the deterministic scenario tests
         return sorted(
             (
                 r["conv_id"], r["match_id"], r["total_kills"],
-                tuple(r["players"] or []),
-                tuple((k["player"], k["frags"]) for k in (r["kills"] or [])),
                 r["graceful"], r["error"],
             )
             for r in rows
@@ -142,6 +145,7 @@ def test_parsers_agree_on_seeded_random_corpus(spark):
     def rnum():
         return rng.choice(
             ["", "0", "7", "+7", "-3", "007", "4294967295", "4294967296",
+             "0000000000000000007", "+00000000000000000042", "-000",
              "99999999999999999999", rtext(6)]
         )
 
@@ -169,10 +173,13 @@ def test_parsers_agree_on_seeded_random_corpus(spark):
         elif k == 8:
             lines.append(f" 0:01 {rtext(12)}: {rtext(20)}")  # random event name
         else:
-            # mutate a valid kill line: drop/duplicate a random char
+            # mutate a valid kill line: drop OR duplicate a random char
             base = " 0:01 Kill: 2 3 7: A killed B by MOD_ROCKET"
             i = rng.randrange(len(base))
-            lines.append(base[:i] + base[i + rng.randrange(2):])
+            if rng.random() < 0.5:
+                lines.append(base[:i] + base[i + 1:])   # drop
+            else:
+                lines.append(base[:i + 1] + base[i:])   # duplicate
 
     t = transcripts_from_lines(spark, lines, "megafuzz")
     results = {}
