@@ -813,9 +813,14 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+def _minhash_oracle_sql(
+    n_hashes: int = 16, bands: int = 8, threshold: float = 0.6,
+    source: str = "documents",
+) -> str:
     """DuckDB twin of minhash_lsh_pairs(n=1): same md5 hashes, same band
-    buckets, same exact-Jaccard verify."""
+    buckets, same exact-Jaccard verify.  ``source`` names the relation/CTE
+    supplying (doc_id, text) — clean_corpus embeds the block over its
+    gated subset."""
     rows = n_hashes // bands
     sig_exprs = ",\n    ".join(
         "list_min(list_transform(grams, g -> "
@@ -830,7 +835,7 @@ def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 8, threshold: float = 0
     return rf"""
 WITH toks AS (
   SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS grams
-  FROM documents WHERE length(trim(text)) > 0
+  FROM {source} WHERE length(trim(text)) > 0
 ),
 sig AS (
   SELECT doc_id,
@@ -1198,6 +1203,38 @@ FROM cands QUALIFY rnk <= 10
 """
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrative training-corpus cleaning pipeline (exact dedup ->
+    quality/lang gate -> MinHash-LSH near-dup removal) — every stage
+    recomposed in DuckDB, so the full composition is driver-checked, not
+    just its parts."""
+    from quake3_log_analyser_spark.operators.corpus import clean_corpus
+
+    docs = _table(spark, sf_dir, "documents")
+    return clean_corpus(
+        docs, min_quality=0.45, langs=("en",), n=1,
+        n_hashes=16, bands=8, threshold=0.6,
+    )
+
+
+def _clean_corpus_oracle_sql() -> str:
+    mh = _minhash_oracle_sql(n_hashes=16, bands=8, threshold=0.6, source="gated")
+    return f"""
+WITH removed AS ({_ORACLE_DEDUP_SURVIVORS}),
+q AS ({_ORACLE_QUALITY}),
+l AS ({_ORACLE_LANG_GUESS}),
+gated AS (
+  SELECT d.doc_id, d.text, q.quality, l.lang_guess
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE q.quality >= 0.45 AND l.lang_guess = 'en'
+    AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+)
+SELECT g.doc_id, g.quality, g.lang_guess
+FROM gated g
+WHERE g.doc_id NOT IN (SELECT doc_b FROM ({mh}) near)
+"""
+
+
 _EXTRA_QUERIES = {
     "text_stats": _q_text_stats,
     "fingerprints": _q_fingerprints,
@@ -1215,6 +1252,7 @@ _EXTRA_QUERIES = {
     "lsh_near_dups": _q_lsh_near_dups,
     "lsh_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
+    "clean_corpus": _q_clean_corpus,
 }
 
 _EXTRA_ORACLES = {
@@ -1234,6 +1272,7 @@ _EXTRA_ORACLES = {
     "lsh_near_dups": _lsh_near_dups_oracle_sql(),
     "lsh_topk": _lsh_topk_oracle_sql(),
     "ivf_topk": _ORACLE_IVF_TOPK,
+    "clean_corpus": _clean_corpus_oracle_sql(),
 }
 
 _BASE_QUERIES = queries

@@ -1,0 +1,72 @@
+"""End-to-end training-corpus cleaning: the integrative pipeline a
+large-scale LLM data build runs over raw documents, composed from the
+operators this package already ships:
+
+  1. **exact dedup** — drop every document whose normalized content
+     fingerprint collapses onto a smaller-id survivor
+     (``dedup.dedup_survivors``);
+  2. **quality + language gate** — keep documents whose heuristic
+     quality score clears a threshold and whose n-gram language guess is
+     in the allowed set (``functions.text``);
+  3. **near-dup removal** — MinHash+LSH pairs over the gated set
+     (``dedup.minhash_lsh_pairs``), dropping the LARGER doc id of every
+     verified pair (the greedy keep-min rule: deterministic, one
+     anti-join, and reproducible in plain SQL — the whole pipeline has a
+     DuckDB twin in the driver's oracle gate).
+
+Every stage is hash-partitioned work (fingerprint groupBy, per-row
+scoring, banded LSH join) — no all-pairs anywhere, the 100 TB posture of
+the underlying operators carries through the composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    langs: tuple[str, ...] = ("en",),
+    n: int = 1,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw documents -> the cleaned corpus ``(doc_id, quality, lang_guess)``.
+
+    ``quality`` is rounded to 4 dp BEFORE the threshold comparison so the
+    gate decision cannot flip on a cross-engine double ulp (the same
+    discipline the standalone quality query uses).  The near-dup drop rule
+    is greedy keep-min: any document appearing as the larger side of a
+    verified pair is removed.  Chains over-drop slightly (b dropped for a,
+    c dropped for b) — the standard trade for a single-pass, join-only
+    rule; transitive-closure survivorship needs an iterative connected-
+    components pass, deliberately out of scope here.
+    """
+    from ..functions.text import lang_guess, quality_score
+    from .dedup import dedup_survivors, minhash_lsh_pairs
+
+    removed = dedup_survivors(docs, text_col, id_col).select(
+        F.col("doc_id").alias(id_col)
+    )
+    survivors = docs.join(removed, id_col, "left_anti")
+    gated = survivors.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+        lang_guess(F.col(text_col)).alias("lang_guess"),
+    ).filter(
+        (F.col("quality") >= min_quality) & F.col("lang_guess").isin(list(langs))
+    )
+    near = minhash_lsh_pairs(
+        gated, text_col, id_col, n=n, n_hashes=n_hashes, bands=bands,
+        threshold=threshold,
+    )
+    dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
+    return gated.join(dropped, id_col, "left_anti").select(
+        id_col, "quality", "lang_guess"
+    )

@@ -451,3 +451,35 @@ def test_parse_pedantic_rejects_non_arrow_parsers(spark):
     t = transcripts_from_lines(spark, [" 0:00 ShutdownGame:"], "c0")
     with pytest.raises(ValueError, match="arrow"):
         parse_transcripts(t, parser="expr", pedantic=True)
+
+
+def test_clean_corpus_composition(spark, docs):
+    """The integrative cleaning pipeline: injected exact copies collapse to
+    their originals, every kept doc clears the gates, and no verified
+    near-dup pair survives intact."""
+    from quake3_log_analyser_spark.operators.corpus import clean_corpus
+    from quake3_log_analyser_spark.operators.dedup import minhash_lsh_pairs
+
+    kept = clean_corpus(
+        docs, min_quality=0.0, langs=("en", "es", "de", "fr", "und"),
+        n=1, n_hashes=16, bands=8, threshold=0.6,
+    ).collect()
+    ids = {r["doc_id"] for r in kept}
+    # injected exact copies (+10000/+20000) never survive: exact dedup
+    # keeps the minimum id
+    assert not any(i >= 10000 for i in ids)
+    # with permissive gates the originals that aren't near-dups survive
+    assert ids, "cleaning must not empty the corpus under permissive gates"
+    # no surviving near-dup pair: re-run LSH over the kept set
+    survivors = docs.filter(F.col("doc_id").isin(list(ids)))
+    pairs = minhash_lsh_pairs(
+        survivors, n=1, n_hashes=16, bands=8, threshold=0.6
+    ).collect()
+    assert pairs == [], f"near-dup pair survived cleaning: {pairs[:3]}"
+
+
+def test_clean_corpus_gates(spark, docs):
+    from quake3_log_analyser_spark.operators.corpus import clean_corpus
+
+    kept = clean_corpus(docs, min_quality=0.45, langs=("en",)).collect()
+    assert all(r["quality"] >= 0.45 and r["lang_guess"] == "en" for r in kept)
