@@ -111,16 +111,19 @@ def test_vectorized_equals_fold_on_arbitrary_sequences(spark, lines):
         # free sequences is pinned by the deterministic scenario tests
         return sorted(
             (
-                r["conv_id"], r["match_id"], r["total_kills"],
-                r["graceful"], r["error"],
-            )
-            for r in rows
+                (
+                    r["conv_id"], r["match_id"], r["total_kills"],
+                    r["graceful"], r["error"],
+                )
+                for r in rows
             # compose-level violations only (DoubleInit / GameNotStarted):
             # the registry kinds (ClientNotConnected / DoubleConnect /
             # Discrepant...) exist only under player_resolutions
             if r["error"] is None
             or r["error"].endswith("DoubleInit")
             or r["error"].endswith("GameNotStarted")
+            ),
+            key=repr,  # error rows carry None total_kills; None < int raises
         )
 
     assert common(vec) == common(fold)
