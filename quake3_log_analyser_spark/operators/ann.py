@@ -99,9 +99,14 @@ def lsh_signature(vec_col, n_planes: int, seed: int = 42, dim: int | None = None
     blows up).  Each batch is one ``(batch, dim) @ (dim, n_planes)`` BLAS
     matmul.  NULL vectors yield NULL signatures (round-2 ADVICE: the
     previous form crashed ``np.stack`` on a None in the batch).
+
+    When ``dim`` is omitted the width is locked to the FIRST observed
+    vector and any later mismatch raises: silently deriving a second
+    hyperplane set per width would make signatures incomparable across
+    widths — garbage bucketing instead of an error (round-3 ADVICE).
     """
 
-    cache: dict[int, np.ndarray] = {}  # per-worker, keyed by embedding dim
+    cache: dict[str, np.ndarray] = {}  # per-worker: the locked plane matrix
 
     @F.pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
@@ -112,11 +117,24 @@ def lsh_signature(vec_col, n_planes: int, seed: int = 42, dim: int | None = None
         )
         if not mask.any():
             return out
+        widths = {len(v) for v in vecs[mask]}
+        if len(widths) > 1 or (dim is not None and widths != {dim}):
+            raise ValueError(
+                f"lsh_signature: mixed embedding widths {sorted(widths)}"
+                + (f" (expected dim={dim})" if dim is not None else "")
+                + " — signatures across widths are incomparable; fix the "
+                "column or pass an explicit dim"
+            )
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
         d = dim if dim is not None else mat.shape[1]
-        if d not in cache:
-            cache[d] = _hyperplanes(d, n_planes, seed)
-        bits = (mat @ cache[d].T) >= 0.0
+        if "planes" not in cache:
+            cache["planes"] = _hyperplanes(d, n_planes, seed)
+        elif cache["planes"].shape[1] != d:
+            raise ValueError(
+                f"lsh_signature: embedding width changed across batches "
+                f"({cache['planes'].shape[1]} -> {d}); pass an explicit dim"
+            )
+        bits = (mat @ cache["planes"].T) >= 0.0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         out[mask] = (bits * weights).sum(axis=1)
         return out
@@ -262,7 +280,9 @@ def ivf_cells(vec_col, centroids: np.ndarray, nprobe: int = 1):
     Deterministic tie rule shared with the DuckDB oracle: cells ordered by
     (cosine rounded to 6 dp DESC, cell id ASC) — a 1e-15 cross-engine ulp
     cannot flip a 1e-6 boundary, and stable argsort keeps cell-id order
-    among exact ties.  NULL/empty vectors yield NULL.
+    among exact ties.  NULL/empty/zero-norm vectors yield NULL (a zero
+    vector has no defined cosine direction — assigning it the NaN-argsort
+    cell would silently diverge from the SQL oracle, round-3 ADVICE).
     """
     cent = np.asarray(centroids, dtype=np.float64)
     cent_norm = np.linalg.norm(cent, axis=1)
@@ -270,7 +290,12 @@ def ivf_cells(vec_col, centroids: np.ndarray, nprobe: int = 1):
     @F.pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
         mask = np.array(
-            [isinstance(v, (list, np.ndarray)) and len(v) > 0 for v in vecs],
+            [
+                isinstance(v, (list, np.ndarray))
+                and len(v) > 0
+                and float(np.linalg.norm(np.asarray(v, dtype=np.float64))) > 0.0
+                for v in vecs
+            ],
             dtype=bool,
         )
         vals: list = [None] * len(vecs)
@@ -302,13 +327,26 @@ def ivf_seed_centroids(
     is reproducible in plain SQL, which is what makes the whole IVF path
     oracle-checkable.  Production deployments would refine these with a few
     Lloyd iterations over a sample — the query path below is unchanged by
-    where the matrix comes from."""
+    where the matrix comes from.  NULL/empty embeddings are skipped (a
+    ``list(None)`` seed crashed here, round-3 ADVICE); zero-norm rows are
+    skipped too — a centroid with no direction can never win a cosine
+    assignment and would divide by zero in ``ivf_cells``."""
     rows = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .filter(
+            F.aggregate(
+                vec_col, F.lit(0.0), lambda acc, x: acc + x * x
+            ) > 0.0
+        )
         .orderBy(id_col)
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_seed_centroids: no non-null, non-zero embeddings to seed from"
+        )
     return np.asarray([list(r[1]) for r in rows], dtype=np.float64)
 
 

@@ -1,10 +1,13 @@
 """Parse stage: transcripts DataFrame -> flattened typed-event DataFrame.
 
-Two interchangeable implementations (cross-checked in tests):
+Three interchangeable implementations (cross-checked in tests).  The
+function default is ``parser="arrow"``; the pipeline entry points default
+to ``parser="auto"``, which picks ``expr`` for narrow consumed field sets
+and ``arrow`` otherwise (``choose_parser``):
 
-- ``parser="pandas"`` (default) — Arrow-vectorized pandas UDF, the literal
-  "vectorized grok UDF" stage of the north star.  The ArrowEvalPython node
-  is also a deliberate OPTIMIZER BARRIER: downstream filters on parsed
+- ``parser="arrow"`` — pyarrow.compute kernels via ``mapInArrow``, the
+  literal "vectorized grok UDF" stage of the north star.  The MapInArrow
+  node is also a deliberate OPTIMIZER BARRIER: downstream filters on parsed
   columns cannot be substituted below it.  With the pure-expression parser,
   Catalyst's PushDownPredicates re-inlines the entire ~60-expression parse
   tree into any pushed predicate, producing a single >64 KB expression that
@@ -12,9 +15,11 @@ Two interchangeable implementations (cross-checked in tests):
   compilation and falls back to interpreted eval (measured: 191 s vs ~2 s
   on the same input).
 - ``parser="expr"`` — pure JVM column expressions (whole-stage codegen).
-  Fastest when the query keeps the full parsed column set (no pruning/
-  pushdown reshaping, e.g. parse-then-project queries); used there and as
-  the semantic cross-check of the pandas parser.
+  Fastest absolute and best-scaling when the consumed field set is narrow
+  (janino-safe re-inlining, see EXPR_SAFE_FIELD_BUDGET); the ``auto``
+  choice for the kills-family aggregate shapes.
+- ``parser="pandas"`` — Arrow-batched pandas UDF; same barrier as arrow
+  with ~3x slower string kernels, kept as a semantic cross-check.
 
 Both keep parse failures in-band as ``parse_error_kind``/``parse_error``
 columns (the reference's ``Quake3Events::Error`` variant,

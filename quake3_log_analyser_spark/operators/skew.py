@@ -80,6 +80,15 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     if salts < 2:
         return big.join(small, keys, how)
+    # withColumn REPLACES an existing column: a pre-existing _salt on either
+    # side would silently join on the caller's data instead of our salt
+    for side, df in (("big", big), ("small", small)):
+        if "_salt" in df.columns:
+            raise ValueError(
+                f"salted_join: the {side} side already has a '_salt' column; "
+                "rename it before salting (the salt key would silently "
+                "overwrite it and corrupt the join)"
+            )
     salted_big = big.withColumn(
         "_salt", F.floor(F.rand(seed) * salts).cast("int")
     )

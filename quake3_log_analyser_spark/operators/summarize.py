@@ -118,9 +118,17 @@ def summarize_kills_only(sessionized: DataFrame) -> DataFrame:
     # a name reproducing the entire sentinel shape byte-for-byte —
     # adversarial-input territory the reference's own renderer also
     # cannot distinguish.
+    # The 12-digit pad is exact for any int32 turn_idx >= 0 (max 10 digits);
+    # lpad TRUNCATES longer strings and the sentinel rlike wants exactly 12
+    # digits, so a negative turn_idx ('-' is not [0-9]) would silently turn
+    # the violation into a player kill.  turn_idx is 1-based by the source
+    # contract (sources/transcripts.py) — greatest(.., 0) makes the pad
+    # total anyway; the real turn_idx still rides in the message text.
     violation_sentinel = F.concat(
         F.lit("\x00"),
-        F.lpad(F.col("turn_idx").cast("string"), 12, "0"),
+        F.lpad(
+            F.greatest(F.col("turn_idx"), F.lit(0)).cast("string"), 12, "0"
+        ),
         F.format_string(
             "Event #%d: violated the event model: %s", F.col("turn_idx"), violation
         ),

@@ -200,6 +200,11 @@ def summarize_matches_stream_tws(
                 state, max_turn = new_state(), -1
 
             batches = [pdf for pdf in rows]
+            if not batches:
+                # an empty iterator (possible around timer/expiry ticks)
+                # must not crash the processor: keep state, emit nothing
+                self._session.update(_serialize(state, max_turn))
+                return
             batch = pd.concat(batches) if len(batches) > 1 else batches[0]
             batch = batch.sort_values("turn_idx")
             batch = batch[batch["turn_idx"] > max_turn]  # at-least-once dedup
