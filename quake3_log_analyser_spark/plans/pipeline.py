@@ -23,10 +23,8 @@ from ..operators.parse import choose_parser, fail_on_feed_errors, parse_transcri
 from ..operators.sessionize import sessionize, sessionize_raw
 from ..operators.summarize import (
     DEFAULT_EXTENDED_OPS,
-    means_of_death_hist,
-    reported_scores,
     summarize_extended,
-    summarize_kills_only,
+    summarize_multi,
 )
 from ..operators.translate import translate
 
@@ -170,17 +168,12 @@ def summarize_matches(
                 )
             )
         )
-    out = summarize_kills_only(sessionized)
-    if "means_of_death" in ops:
-        means = means_of_death_hist(sessionized)
-        out = out.drop("kills_by_means").join(
-            means, ["conv_id", "match_id"], "left"
-        )
-    if "reported_scores" in ops:
-        scores = reported_scores(sessionized)
-        out = out.drop("game_reported_scores").join(
-            scores, ["conv_id", "match_id"], "left"
-        )
+    # ONE two-level aggregation for every requested op (kills + means +
+    # scores): the old branch-and-join composition re-computed the parse +
+    # window DAG once per branch — 3 scans, 0 ReusedExchange, confirmed by
+    # the round-3 plan audit.  summarize_multi keeps the single scan and
+    # the window's single shuffle (plan-pinned in tests/test_plans.py).
+    out = summarize_multi(sessionized, ops)
     cols = [
         "conv_id", "match_id", "total_kills", "players", "kills",
         "kills_by_means", "game_reported_scores", "disconnected_players",

@@ -167,6 +167,26 @@ def test_auto_expr_pipeline_never_falls_back_from_codegen(spark):
         spark.conf.set("spark.sql.codegen.fallback", old)
 
 
+def test_multi_op_vectorized_is_single_pass(spark):
+    """ops={kills, means_of_death, reported_scores} must run as ONE
+    two-level aggregation over ONE parse+window DAG.  The round-3 plan
+    audit confirmed the old branch-and-join composition executed 3 scans,
+    6 window nodes and 3 exchanges with 0 ReusedExchange — the dominant
+    stages ran three times.  Single-pass criterion: exactly the
+    kills-only plan shape (1 conv_id exchange, 2 window nodes), no joins."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=4, turns_per_conv=24)
+    plan = plan_of(
+        summarize_matches(t, ops={"kills", "means_of_death", "reported_scores"})
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(conv_id", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow ", plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_auto_parser_session_first_keeps_arrow_barrier(spark):
     """session_first puts the parse ABOVE the window — no shuffle fence
     stops summarize's filters from re-inlining the expr parse tree, so
