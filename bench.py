@@ -134,6 +134,31 @@ def main() -> None:
         timings[name] = round(times[len(times) // 2], 3)
         return result
 
+    def bench_paired(group: dict, reps: int = REPS):
+        """Interleaved paired measurement for plan VARIANTS of the same
+        work: warm every variant, then run rounds A/B/C/A/B/C... and take
+        per-variant medians.  In-session drift (page cache, governor, JIT
+        tiers) then hits all variants equally instead of whichever ran
+        last — the round-3 artifact showed the bucketed plan 22% slower
+        than adhoc purely from sequential drift while targeted interleaved
+        runs showed it faster; the drift-robust protocol belongs IN the
+        committed artifact (scripts/scaling_bench.py already measured
+        scaling pairs this way)."""
+        results = {}
+        for name, fn in group.items():
+            for _ in range(WARMUPS):
+                results[name] = fn()
+        times = {name: [] for name in group}
+        for _ in range(reps):
+            for name, fn in group.items():
+                t0 = time.perf_counter()
+                results[name] = fn()
+                times[name].append(time.perf_counter() - t0)
+        for name, ts in times.items():
+            ts.sort()
+            timings[name] = round(ts[len(ts) // 2], 3)
+        return results
+
     # headline: parse -> sessionize -> per-match aggregate (kills-only path)
     def run_pipeline():
         out = summarize_matches(transcripts, ops={"kills"})
@@ -149,8 +174,6 @@ def main() -> None:
     for _ in range(2):
         run_pipeline()
 
-    head = bench("pipeline_kills", run_pipeline)
-
     # bucketed + raw-session-first variant: shuffle-free, sort-free window
     btbl = ensure_bucketed(spark, tpath)
     bucketed = spark.table(btbl)
@@ -161,8 +184,6 @@ def main() -> None:
             F.count(F.lit(1)).alias("n_matches"),
             F.sum("total_kills").alias("kills"),
         ).collect()[0]
-
-    bench("pipeline_kills_bucketed", run_pipeline_bucketed)
 
     # skew posture (north rule): ONE conversation holds ~10% of all turns.
     # The skew lands on the sessionize window (partitionBy conv_id — a
@@ -184,7 +205,16 @@ def main() -> None:
             F.sum("total_kills").alias("kills"),
         ).collect()[0]
 
-    bench("pipeline_kills_skewed", run_pipeline_skewed)
+    # the three plan variants of the SAME headline work are measured
+    # interleaved (A/B/C rounds, median per variant) — drift-robust
+    paired = bench_paired(
+        {
+            "pipeline_kills": run_pipeline,
+            "pipeline_kills_bucketed": run_pipeline_bucketed,
+            "pipeline_kills_skewed": run_pipeline_skewed,
+        }
+    )
+    head = paired["pipeline_kills"]
     skew_hot_share = round(hot_factor * TURNS_PER_CONV / n_skew_turns, 3)
 
     # parser comparison (reference: split vs regex, 3200x — ours: JVM
@@ -229,6 +259,40 @@ def main() -> None:
     bench(
         "route_sinks",
         lambda: write_sinks(sessionize(parse_transcripts(transcripts)), sink_dir),
+    )
+
+    # single-pass multi-op vectorized summary (round-4: ONE scan + ONE
+    # shuffle for kills+means+scores; the old branch-join form re-ran the
+    # parse+window DAG per aggregate branch)
+    bench(
+        "pipeline_multiop",
+        lambda: summarize_matches(
+            transcripts, ops={"kills", "means_of_death", "reported_scores"}
+        ).agg(F.count(F.lit(1))).collect(),
+    )
+
+    # hot-fingerprint dedup (viral-boilerplate skew): ONE text duplicated
+    # into ~25% of the table, so the survivor join-back puts every copy of
+    # that fingerprint in one task unless salted.  Paired default-vs-salted
+    # so the posture is measured, not asserted.
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
+
+    n_hot, n_uniq = 100_000, 300_000
+    hot_docs = spark.range(n_hot + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_hot, F.lit("the same viral boilerplate text")
+        )
+        .otherwise(F.concat(F.lit("unique document "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    bench_paired(
+        {
+            "dedup_hot": lambda: dedup_survivors(hot_docs).count(),
+            "dedup_hot_salted": lambda: dedup_survivors(
+                hot_docs, salts=8
+            ).count(),
+        }
     )
 
     # generic engine queries on the sf tables

@@ -35,6 +35,7 @@ def clean_corpus(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    salts: int = 1,
 ) -> DataFrame:
     """Raw documents -> the cleaned corpus ``(doc_id, quality, lang_guess)``.
 
@@ -46,11 +47,16 @@ def clean_corpus(
     c dropped for b) — the standard trade for a single-pass, join-only
     rule; transitive-closure survivorship needs an iterative connected-
     components pass, deliberately out of scope here.
+
+    ``salts > 1`` routes the exact-dedup survivor join-back through the
+    explicit salted join (operators.skew) — the crawl-corpus reality of a
+    viral boilerplate document whose fingerprint holds a large share of
+    all rows; measured default-vs-salted in bench.py (``dedup_hot``).
     """
     from ..functions.text import lang_guess, quality_score
     from .dedup import dedup_survivors, minhash_lsh_pairs
 
-    removed = dedup_survivors(docs, text_col, id_col).select(
+    removed = dedup_survivors(docs, text_col, id_col, salts=salts).select(
         F.col("doc_id").alias(id_col)
     )
     survivors = docs.join(removed, id_col, "left_anti")

@@ -22,12 +22,20 @@ from hypothesis import strategies as st
 
 from quake3_log_analyser_spark.sources.transcripts import transcripts_from_lines
 
-# printable-ish payload text: no newlines (line-oriented source), allow
-# the grammar's own metacharacters (colons, backslashes, spaces) so the
-# parsers' splitting logic gets hit hard
+# payload text: no newlines (line-oriented source), allow the grammar's
+# own metacharacters (colons, backslashes, spaces) so the parsers'
+# splitting logic gets hit hard — AND the control characters the round-3
+# alphabet excluded (tab / NUL / vertical tab): the parsers ltrim SPACES
+# only and sessionize_raw's marker regex anchors on ' *', so any
+# tab-indentation divergence is visible only if tabs reach the fuzzer
 _payload = st.text(
-    alphabet=st.characters(
-        codec="utf-8", exclude_characters="\n\r", categories=("L", "N", "P", "S", "Zs")
+    alphabet=st.one_of(
+        st.characters(
+            codec="utf-8",
+            exclude_characters="\n\r",
+            categories=("L", "N", "P", "S", "Zs"),
+        ),
+        st.sampled_from("\t\x00\x0b\x0c"),
     ),
     max_size=24,
 )
@@ -46,6 +54,8 @@ _line = st.one_of(
     _payload,  # raw garbage (often -> error rows)
     st.just(""),
     st.just("   "),
+    st.just("\t 0:00 InitGame: x"),      # tab-indented delimiter
+    st.just(" 0:00\tShutdownGame:"),     # tab inside the time token
     st.builds(_kill_line, _num, _num, _num, _payload, _payload, _payload),
     st.builds(lambda v: f" 0:00 InitGame: {v}", _payload),
     st.builds(lambda i, kv: f" 0:00 ClientUserinfoChanged: {i} {kv}", _num, _payload),
@@ -129,6 +139,84 @@ def test_vectorized_equals_fold_on_arbitrary_sequences(spark, lines):
     assert common(vec) == common(fold)
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=1, max_size=25))
+def test_session_first_equals_session_after(spark, lines):
+    """The bucketed fast path sessionizes on RAW text (sessionize_raw's
+    marker regex) while the default path sessionizes on parsed events —
+    the two delimiter decisions must agree on EVERY line, tab/NUL-indented
+    included, or a bucketed deployment would split matches differently
+    from an unbucketed one."""
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = transcripts_from_lines(spark, lines, "fuzz")
+
+    def norm(rows):
+        return sorted(
+            (
+                tuple(
+                    tuple(sorted(v, key=str)) if isinstance(v, list) else v
+                    for v in (
+                        r["conv_id"], r["match_id"], r["total_kills"],
+                        r["players"], r["kills"], r["graceful"], r["error"],
+                    )
+                )
+                for r in rows
+            ),
+            key=repr,
+        )
+
+    after = summarize_matches(t, ops={"kills"}).collect()
+    first = summarize_matches(t, ops={"kills"}, session_first=True).collect()
+    assert norm(after) == norm(first)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=1, max_size=25))
+def test_multi_op_vectorized_equals_fold_full_rows(spark, lines):
+    """The single-pass multi-op aggregation (summarize_multi) and the exact
+    replay fold run the SAME op menu {kills, means_of_death, reported_scores}
+    — without player_resolutions both are registry-free, so EVERY output
+    field must match exactly, including NULL-vs-empty on the means/scores
+    maps and all-NULL error rows."""
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.summarize import summarize_extended
+    from quake3_log_analyser_spark.operators.translate import translate
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = transcripts_from_lines(spark, lines, "fuzz")
+    ops = frozenset({"kills", "means_of_death", "reported_scores"})
+    vec = summarize_matches(t, ops=ops).collect()
+    fold = summarize_extended(translate(parse_transcripts(t)), ops).collect()
+
+    def norm(rows):
+        return sorted(
+            (
+                tuple(
+                    tuple(sorted(v, key=str)) if isinstance(v, list) else v
+                    for v in (
+                        r["conv_id"], r["match_id"], r["total_kills"],
+                        r["players"], r["kills"], r["kills_by_means"],
+                        r["game_reported_scores"], r["disconnected_players"],
+                        r["graceful"], r["error"],
+                    )
+                )
+                for r in rows
+            ),
+            key=repr,
+        )
+
+    assert norm(vec) == norm(fold)
+
+
 def test_parsers_agree_on_seeded_random_corpus(spark):
     """Deterministic mega-fuzz: 3000 seeded random lines (grammar-shaped,
     mutated, and raw garbage) through all three parsers in ONE job each —
@@ -140,7 +228,7 @@ def test_parsers_agree_on_seeded_random_corpus(spark):
     from quake3_log_analyser_spark.schemas import EVENT_COLUMN_NAMES
 
     rng = random.Random(0xC0FFEE)
-    alphabet = "abz AZ09:\\-_+<>{}()'\"|.é世"
+    alphabet = "abz AZ09:\\-_+<>{}()'\"|.é世\t\x00\x0b"
 
     def rtext(n):
         return "".join(rng.choice(alphabet) for _ in range(rng.randrange(n)))

@@ -483,3 +483,51 @@ def test_clean_corpus_gates(spark, docs):
 
     kept = clean_corpus(docs, min_quality=0.45, langs=("en",)).collect()
     assert all(r["quality"] >= 0.45 and r["lang_guess"] == "en" for r in kept)
+
+
+def test_corpus_job_cli_resume_and_parity(spark, docs, tmp_path):
+    """jobs/run_corpus.py: the production CLI runs the staged
+    checkpoint/resume composition and its final output is identical to the
+    library clean_corpus call (same defaults, same keep-min rule); a
+    restart over a committed checkpoint is a no-op and a partial resume
+    re-runs exactly the missing stage."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import run_corpus
+
+    from quake3_log_analyser_spark.operators.corpus import clean_corpus
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_corpus.main(
+        ["--input", docs_path, "--output", out, "--checkpoint", ckpt,
+         "--run-id", "t1", "--resume", "--verbose", "--salts", "4"]
+    )
+    lib = sorted(clean_corpus(docs, salts=4).collect(), key=str)
+    assert sorted(spark.read.parquet(f"{out}/cleaned").collect(), key=str) == lib
+
+    ck = spark.read.parquet(ckpt)
+    assert {r["unit"] for r in ck.collect()} == {
+        "stage=dedup", "stage=gate", "stage=neardup"
+    }
+    # lineage row sanity: the dedup stage saw every input doc
+    dedup_row = ck.filter(F.col("unit") == "stage=dedup").collect()[0]
+    assert dedup_row["n_input_rows"] == docs.count()
+    assert 0 < dedup_row["n_matches"] < dedup_row["n_input_rows"]
+
+    # idempotent restart: everything committed -> no-op
+    assert run_corpus_resumable(spark, docs, out, ckpt, run_id="t2") == []
+
+    # partial resume: drop the neardup commit -> exactly it re-runs
+    ckpt2 = str(tmp_path / "ckpt2")
+    ck.filter(F.col("unit") != "stage=neardup").write.parquet(ckpt2)
+    assert run_corpus_resumable(spark, docs, out, ckpt2, run_id="t3") == [
+        "stage=neardup"
+    ]
+    assert sorted(spark.read.parquet(f"{out}/cleaned").collect(), key=str) == lib
