@@ -77,18 +77,20 @@ def summarize_matches(
         # per-query-shape selection (operators.parse.choose_parser): the
         # fold path keeps 9 event fields -> arrow barrier; the vectorized
         # kills-family paths keep 2-5 -> the faster, better-scaling expr
-        # parser (janino-safe at that width).  EXCEPT session_first: there
-        # the parse sits ABOVE the window, so summarize's filters have no
-        # shuffle fence below them — with the expr parser they re-inline
-        # the full dispatch tree into the aggregation stage and janino
-        # fails compilation (measured: 19.6 s interpreted-fallback vs
-        # 6.8 s with the arrow barrier on the same bucketed input).
-        if session_first:
-            parser = "arrow"
-        else:
-            parser = choose_parser(
-                FOLD_FIELDS if "player_resolutions" in ops else agg_base
-            )
+        # parser (janino-safe at that width).  session_first also takes
+        # expr now: the parse sits ABOVE the window there, so summarize's
+        # filters have no shuffle fence below them and Catalyst would
+        # re-inline the full dispatch tree into the aggregation stage
+        # (janino >64KB, measured 19.6 s interpreted-fallback) — the
+        # round-3 fix was forcing the arrow barrier, whose parse scales at
+        # 0.27-0.37; round 4 instead plants a NON-DETERMINISTIC fence
+        # column in the parse projection (below), which blocks
+        # PushDownPredicates' substitution through the Project without any
+        # shuffle or Python boundary, keeping the 0.59-scaling expr parser
+        # on the no-shuffle bucketed plan.
+        parser = choose_parser(
+            FOLD_FIELDS if "player_resolutions" in ops else agg_base
+        )
 
     # pedantic enforcement is parser-dependent (both are pushdown-proof,
     # see operators.parse.fail_on_feed_errors for why turn_idx alone isn't):
@@ -157,6 +159,26 @@ def summarize_matches(
                 raw_sess, parser=parser, fields=agg_fields, pedantic=pedantic_in_udf
             )
         )
+        if parser == "expr":
+            # pushdown fence: PushPredicateThroughNonJoin only substitutes
+            # a filter through a Project whose expressions are ALL
+            # deterministic.  Wrapping the CONSUMED event_type in an
+            # always-true non-deterministic guard (monotonically_
+            # increasing_id() is non-negative by construction) taints the
+            # projection, so the aggregate filters evaluate plain
+            # attributes ABOVE the parse instead of re-inlining its
+            # ~60-expression tree (the janino >64KB compile failure that
+            # previously forced the arrow barrier here).  A detached
+            # fence COLUMN does not work: ColumnPruning strips an
+            # unreferenced column and the substitution comes back —
+            # the wrap survives because event_type is consumed.  Costs
+            # one long compare per row, no shuffle, no Python.
+            sessionized = sessionized.withColumn(
+                "event_type",
+                F.when(
+                    F.monotonically_increasing_id() >= 0, F.col("event_type")
+                ),
+            )
     else:
         sessionized = sessionize(
             _gate(

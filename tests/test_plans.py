@@ -187,20 +187,54 @@ def test_multi_op_vectorized_is_single_pass(spark):
     assert "Join" not in plan, plan
 
 
-def test_auto_parser_session_first_keeps_arrow_barrier(spark):
-    """session_first puts the parse ABOVE the window — no shuffle fence
-    stops summarize's filters from re-inlining the expr parse tree, so
-    auto must keep the arrow barrier there (measured: expr fell out of
-    codegen with InternalCompilerException, 19.6 s vs 6.8 s)."""
+def test_auto_parser_session_first_takes_fenced_expr(spark):
+    """session_first puts the parse ABOVE the window — without a fence,
+    Catalyst substitutes summarize's filters through the parse projection
+    and the re-inlined tree fails janino (>64KB, measured 19.6 s
+    interpreted fallback; that failure previously forced the arrow
+    barrier here, whose parse scales at 0.27-0.37 vs expr's 0.59).  The
+    round-4 non-deterministic wrap on event_type blocks the substitution,
+    so auto now keeps the expr parser: no Python boundary in the plan,
+    the fence visible, and the whole pipeline survives strict codegen."""
     from quake3_log_analyser_spark.datagen import generate_transcripts
     from quake3_log_analyser_spark.plans.pipeline import summarize_matches
 
     t = generate_transcripts(spark, n_convs=6, turns_per_conv=60)
     df = summarize_matches(t, ops={"kills"}, session_first=True)
-    assert "MapInArrow" in plan_of(df)
+    plan = plan_of(df)
+    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
+    assert "monotonically" in plan, "pushdown fence missing from the plan"
     old = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
         assert len(df.collect()) > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_session_first_bucketed_full_pipeline_no_exchange(spark, tmp_path):
+    """On a conv_id-bucketed, (conv_id, turn_idx)-sorted table the ENTIRE
+    session-first kills pipeline — raw window + fenced expr parse + both
+    aggregation levels — needs NO exchange at all: the bucket partitioning
+    satisfies the window and both groupBys' clustering.  This is the
+    10^12-turn deployment plan."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    df = generate_transcripts(spark, n_convs=8, turns_per_conv=40)
+    loc = str(tmp_path / "bucketed_full")
+    (
+        df.repartition(4, "conv_id")
+        .write.mode("overwrite")
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", loc)
+        .saveAsTable("t_bucketed_full_plan_test")
+    )
+    try:
+        t = spark.table("t_bucketed_full_plan_test")
+        plan = plan_of(summarize_matches(t, ops={"kills"}, session_first=True))
+        assert "Exchange" not in plan, plan
+        assert "MapInArrow" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_full_plan_test")
