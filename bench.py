@@ -272,12 +272,18 @@ def main() -> None:
     )
 
     # hot-fingerprint dedup (viral-boilerplate skew): ONE text duplicated
-    # into ~25% of the table, so the survivor join-back puts every copy of
-    # that fingerprint in one task unless salted.  Paired default-vs-salted
-    # so the posture is measured, not asserted.
+    # into 25% of an 8M-row table, so the survivor join-back's SMJ puts
+    # every copy of that fingerprint in one task unless AQE's skew-join
+    # splits it at runtime.  Paired AQE-on vs skew-split-off so the rescue
+    # is MEASURED (at 16M rows: 9.2 s vs 11.2 s).  Full salting
+    # (dedup_survivors(salts=8)) is deliberately NOT benchmarked at this
+    # scale: the keepers side is one row per DISTINCT fingerprint — corpus-
+    # sized at low dup rates — and salts x replication through the shuffle
+    # regresses catastrophically (measured: timeout at 16M rows); see
+    # operators/skew.py for when explicit salting does apply.
     from quake3_log_analyser_spark.operators.dedup import dedup_survivors
 
-    n_hot, n_uniq = 100_000, 300_000
+    n_hot, n_uniq = 2_000_000, 6_000_000
     hot_docs = spark.range(n_hot + n_uniq).select(
         F.col("id").alias("doc_id"),
         F.when(
@@ -286,12 +292,18 @@ def main() -> None:
         .otherwise(F.concat(F.lit("unique document "), F.col("id").cast("string")))
         .alias("text"),
     )
+
+    def dedup_hot_aqe_off():
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            return dedup_survivors(hot_docs).count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
     bench_paired(
         {
             "dedup_hot": lambda: dedup_survivors(hot_docs).count(),
-            "dedup_hot_salted": lambda: dedup_survivors(
-                hot_docs, salts=8
-            ).count(),
+            "dedup_hot_noskewaqe": dedup_hot_aqe_off,
         }
     )
 

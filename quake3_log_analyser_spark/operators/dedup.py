@@ -60,10 +60,15 @@ def dedup_survivors(
     The keepers computation itself is skew-immune (min is decomposed into
     a map-side partial), but the join BACK to the corpus puts every row of
     a hot fingerprint — a doc duplicated millions of times in a crawl —
-    into one task.  ``salts > 1`` routes it through
-    ``operators.skew.salted_join`` (big side salted, 1-row-per-fp keepers
-    side exploded), splitting the hot key across ``salts`` tasks; AQE's
-    skew-join handles the same case adaptively when stats surface it.
+    into one task.  The PRODUCTION remedy is AQE's skew-join split, on by
+    default in session.py and measured effective (16M rows, one fp holding
+    25%: 9.2 s vs 11.2 s with the split disabled — bench.py `dedup_hot`).
+    ``salts > 1`` routes the join through ``operators.skew.salted_join``
+    instead — but note the keepers side is one row per DISTINCT
+    fingerprint, i.e. corpus-sized at low dup rates, and salts x
+    replication then dominates (measured: 8x salting timed out at 16M
+    rows where the unsalted join took 9 s).  Use salts only when the
+    dup rate is high enough that keepers is small in total.
     """
     keyed = df.select(
         F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")

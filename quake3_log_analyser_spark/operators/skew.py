@@ -57,10 +57,17 @@ def salted_join(
     unchanged: each big row matches exactly the same small rows as the
     unsalted join (every (key, salt) pair exists on the small side).
 
-    Use when the small side is too big to broadcast but per-key small —
-    the survivor-mapping join in dedup, dimension-ish lookups with a few
-    hot keys.  Cost: ``salts``x replication of the small side through the
-    shuffle; keep ``salts`` at O(tasks-per-hot-key), not hundreds.
+    Use when the small side is too big to broadcast but SMALL IN TOTAL —
+    dimension-ish lookups with a few hot keys.  Cost: ``salts``x
+    replication of the small side through the shuffle; keep ``salts`` at
+    O(tasks-per-hot-key), not hundreds.  MEASURED caveat (round 4): the
+    dedup survivor-mapping join is NOT such a case at low dup rates — its
+    keepers side is one row per distinct fingerprint, i.e. corpus-sized,
+    and salting it 8x turned a 9 s join into a timeout at 16M rows, while
+    AQE's skew-join split handled the same hot key at runtime (9.2 s vs
+    11.2 s with the split disabled; `dedup_hot` in bench.py re-measures
+    this every round).  Reach for salting only after checking the small
+    side's TOTAL size, or broadcast the hot keys' rows instead.
 
     ``how`` is restricted to joins whose output multiplicity the salting
     provably preserves (inner/left/cross from the big side, semi/anti):

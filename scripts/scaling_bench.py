@@ -48,9 +48,10 @@ def ensure_big_table(n_turns: int) -> str:
     return str(path)
 
 
-def run_worker(cpus: int, tpath: str) -> dict:
+def run_worker(cpus: int, tpath: str, mode: str = "adhoc") -> dict:
     out = subprocess.run(
-        [sys.executable, str(REPO / "scripts/scaling_worker.py"), str(cpus), tpath],
+        [sys.executable, str(REPO / "scripts/scaling_worker.py"), str(cpus),
+         tpath, "3", mode],
         capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -62,11 +63,16 @@ def run_worker(cpus: int, tpath: str) -> dict:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     turns_m = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # "bucketed" = the deployment plan (conv_id-bucketed sorted table,
+    # session-first fenced-expr, zero exchanges) — the r4 2->8 pair on it
+    # measured 0.94-0.99; "adhoc" = plain parquet + shuffle/sort window
+    mode = sys.argv[3] if len(sys.argv) > 3 else "adhoc"
     tpath = ensure_big_table(turns_m * 1_000_000)
-    small = run_worker(n, tpath)
-    big = run_worker(4 * n, tpath)
+    small = run_worker(n, tpath, mode)
+    big = run_worker(4 * n, tpath, mode)
     eff = (small["seconds"] / big["seconds"]) / 4 if big["seconds"] else 0.0
     report = {
+        "mode": mode,
         "n_cores": n,
         "turns_per_sec_N": small["turns_per_sec"],
         "turns_per_sec_4N": big["turns_per_sec"],

@@ -212,6 +212,31 @@ def test_auto_parser_session_first_takes_fenced_expr(spark):
         spark.conf.set("spark.sql.codegen.fallback", old)
 
 
+def test_session_first_multiop_fenced_expr_strict_codegen(spark):
+    """session_first x multi-op: the fenced expr parse and the single-pass
+    typed-entry aggregation compose — no Python boundary, no join, and the
+    whole plan survives strict codegen; results match the parse-first
+    plan."""
+    from quake3_log_analyser_spark.datagen import generate_transcripts
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    t = generate_transcripts(spark, n_convs=6, turns_per_conv=60)
+    ops = {"kills", "means_of_death", "reported_scores"}
+    df = summarize_matches(t, ops=ops, session_first=True)
+    plan = plan_of(df)
+    assert "MapInArrow" not in plan and "Join" not in plan
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = sorted([tuple(map(repr, r)) for r in df.collect()])
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    want = sorted(
+        [tuple(map(repr, r)) for r in summarize_matches(t, ops=ops).collect()]
+    )
+    assert got == want
+
+
 def test_session_first_bucketed_full_pipeline_no_exchange(spark, tmp_path):
     """On a conv_id-bucketed, (conv_id, turn_idx)-sorted table the ENTIRE
     session-first kills pipeline — raw window + fenced expr parse + both
