@@ -388,7 +388,16 @@ def ivf_topk(
     # exactly ONE cell and a query's probed cells are distinct, so a
     # (query, neighbor) pair cannot occur twice — a dropDuplicates here
     # would be a full extra shuffle over the candidate set for nothing
-    cands = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ivf_probe_rerank(c, q, k)
+
+
+def _ivf_probe_rerank(cells: DataFrame, probes, k: int) -> DataFrame:
+    """Shared candidate-join + exact-rerank tail of the IVF query path:
+    ``cells`` has (neighbor_id, nvec, cell), ``probes`` (query_id, qvec,
+    cell, broadcast-hinted)."""
+    cands = probes.join(cells, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     scored = cands.withColumn(
         "cosine",
         (
@@ -402,3 +411,67 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the INVERTED FILE: the corpus written partitioned by
+    cell id — the physical layout that makes ``ivf_topk``'s "a probe
+    touches nprobe partitions" claim literal.  One pass: assign each row
+    its cell, ``partitionBy("cell")`` parquet write.  Returns the centroid
+    matrix to query with (persist it beside the index in production).
+    Rows with NULL cells (null/empty/zero-norm embeddings) are excluded —
+    they can never be retrieved by a cosine probe anyway."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            ivf_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        )
+        .filter(F.col("cell").isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` against a materialized ``ivf_write_index`` layout.
+
+    The probe side is broadcast and joins on the PARTITION column, so
+    Spark's dynamic partition pruning turns the corpus scan into "read the
+    probed cells' directories only" — ``PartitionFilters:
+    [dynamicpruning#...]`` in the plan (pinned in tests/test_plans.py).
+    At 10^12 rows this is the difference between scanning the corpus and
+    scanning ``nprobe/n_centroids`` of it per query batch."""
+    cells = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "cell",
+    )
+    probes = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(ivf_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        )
+    )
+    return _ivf_probe_rerank(cells, probes, k)

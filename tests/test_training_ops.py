@@ -369,6 +369,37 @@ def test_ivf_cells_null_vectors_and_determinism(spark):
     assert len(out[1]) == 2
 
 
+def test_ivf_indexed_matches_inline_and_prunes_partitions(spark, emb, tmp_path):
+    """The materialized inverted file (corpus written partitionBy cell)
+    must return exactly what the inline ivf_topk computes with the same
+    centroids — and its corpus scan must carry a DYNAMIC partition-pruning
+    filter on the probe join, the physical 'probe touches nprobe
+    partitions' property the IVF layout exists for."""
+    from quake3_log_analyser_spark.operators.ann import (
+        ivf_seed_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    cent = ivf_seed_centroids(emb, 16)
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, idx, centroids=cent)
+    qs = emb.filter(F.col("vec_id") < 5)
+
+    indexed = ivf_topk_indexed(spark, idx, qs, cent, k=5, nprobe=2)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, f"no DPP on the corpus scan:\n{plan}"
+
+    inline = ivf_topk(emb, qs, k=5, nprobe=2, centroids=cent).collect()
+    got = indexed.collect()
+    norm = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rnk"])
+        for r in rows
+    )
+    assert norm(got) == norm(inline)
+
+
 def test_salted_join_equals_plain_join(spark):
     """salted_join must produce exactly the plain join's multiset under a
     pathologically hot key (one key holds ~90% of the big side)."""
