@@ -204,6 +204,94 @@ def decode_image(payload: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE PCM bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthetic_audio_media(
+    spark: SparkSession, n: int = 16, rate: int = 16000, seconds: float = 0.25
+) -> DataFrame:
+    """Media table whose payloads are REAL PCM WAV files (two-harmonic
+    tones, frequency seeded by media id) — exercises the real audio tier
+    in environments with no codec library at all (``wave`` is stdlib)."""
+    t = np.arange(int(rate * seconds)) / rate
+    rows = []
+    for i in range(n):
+        f0 = 200.0 + 50.0 * i
+        sig = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(encode_wav((sig * 32767).astype(np.int16), rate)),
+                (None, None, rate, None, "audio/wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV payload -> (mono float64 samples in [-1, 1], rate).
+
+    REAL decode via stdlib ``wave`` — 8/16/32-bit PCM, any channel count
+    (averaged to mono).  Compressed formats (MP3/OGG/...) have no
+    in-container codec and raise ValueError, mirroring ``decode_image``'s
+    unrecognized-magic contract."""
+    import io
+    import wave
+
+    if not payload or payload[:4] != b"RIFF":
+        raise ValueError(
+            f"unrecognized audio magic {bytes(payload[:4])!r} (stdlib tier "
+            "decodes RIFF/WAVE PCM; no compressed-audio codec in-container)"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise ValueError(f"WAV sample width {sw} bytes unsupported (want 1/2/4)")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    x = (x - 128.0) / 128.0 if sw == 1 else x / float(2 ** (8 * sw - 1))
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> np.ndarray:
+    """PCM samples -> fixed-width feature vector: duration, RMS,
+    zero-crossing rate, then coarse log-spectral band energies
+    (``numpy.fft.rfft``), padded/truncated to ``dim`` and L2-normalized —
+    deterministic, codec-independent (the audio twin of image_features)."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    dur = n / rate
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples))
+    n_bands = max(1, dim - 3)
+    bands = [
+        float(np.log1p(chunk.mean())) if len(chunk) else 0.0
+        for chunk in np.array_split(spec, n_bands)
+    ]
+    v = np.concatenate([[dur, rms, zcr], bands])[:dim]
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    norm = np.linalg.norm(v)
+    return (v / norm if norm > 0 else v).astype(np.float32)
+
+
 def image_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
     """Pixel array -> fixed-width feature vector: per-channel mean/std plus
     a coarse nearest-neighbor-downsampled gray grid, padded/truncated to
@@ -229,12 +317,13 @@ def extract_features(
     scale this is the pattern for any decode/resize/frame-sample stage —
     one Python worker per partition, whole Arrow batches in and out.
 
-    ``fake_decoder=False`` runs the REAL image decode (PPM/BMP always;
-    PNG/JPEG when Pillow is importable) followed by ``image_features`` —
-    dispatched PER KIND: only ``kind == "image"`` rows hit the image
-    decoder, audio/video rows always take the deterministic fake path (no
-    audio/video codecs in this container), so a mixed media table never
-    crashes on a non-image payload.
+    ``fake_decoder=False`` runs the REAL decoders — dispatched PER KIND:
+    ``image`` rows hit ``decode_image`` (PPM/BMP always; PNG/JPEG when
+    Pillow is importable), ``audio`` rows with RIFF/WAVE magic hit the
+    stdlib PCM decode + spectral ``audio_features``; compressed-audio and
+    ``video`` rows take the deterministic fake path (no such codecs in
+    this container — declared), so a mixed media table never crashes on
+    an undecodable payload.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,10 +332,12 @@ def extract_features(
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
-                if fake_decoder or kind != "image":
-                    feats.append(_fake_decode(b, dim).tolist())
-                else:
+                if not fake_decoder and kind == "image":
                     feats.append(image_features(decode_image(b), dim).tolist())
+                elif not fake_decoder and kind == "audio" and b[:4] == b"RIFF":
+                    feats.append(audio_features(*decode_audio(b), dim).tolist())
+                else:
+                    feats.append(_fake_decode(b, dim).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

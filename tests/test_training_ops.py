@@ -562,3 +562,61 @@ def test_corpus_job_cli_resume_and_parity(spark, docs, tmp_path):
         "stage=neardup"
     ]
     assert sorted(spark.read.parquet(f"{out}/cleaned").collect(), key=str) == lib
+
+
+def test_audio_real_decode_roundtrip_and_features():
+    """decode_audio is REAL for PCM WAV (stdlib wave, no codec libs): an
+    encoded tone decodes back sample-exact; features are deterministic;
+    non-WAV magic raises like decode_image's unrecognized tier."""
+    import numpy as np
+
+    from quake3_log_analyser_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    rate = 16000
+    t = np.arange(4000) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype(np.int16)
+    samples, r = decode_audio(encode_wav(sig, rate))
+    assert r == rate and len(samples) == len(sig)
+    assert np.allclose(samples, sig / 32768.0, atol=1e-12)
+    f1 = audio_features(samples, r, 8)
+    f2 = audio_features(samples, r, 8)
+    assert np.array_equal(f1, f2) and len(f1) == 8
+    # a louder signal must move the features (they respond to content)
+    f3 = audio_features(samples * 0.1, r, 8)
+    assert not np.array_equal(f1, f3)
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x04not-a-wav")
+    with pytest.raises(ValueError):
+        decode_audio(b"")
+
+
+def test_extract_features_real_audio_pipeline(spark):
+    """The SAME extract_features pipeline runs the real stdlib WAV decode
+    (fake_decoder=False) over real PCM payloads — deterministic, 8-wide,
+    and distinguishable from the fake-hash path (proving the real branch
+    engaged)."""
+    from quake3_log_analyser_spark.operators.multimodal import (
+        extract_features,
+        synthetic_audio_media,
+    )
+
+    media = synthetic_audio_media(spark, n=8)
+    real = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, dim=8, fake_decoder=False).collect()
+    }
+    fake = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, dim=8, fake_decoder=True).collect()
+    }
+    assert len(real) == 8 and all(len(v) == 8 for v in real.values())
+    assert real != fake
+    again = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, dim=8, fake_decoder=False).collect()
+    }
+    assert real == again
