@@ -202,3 +202,82 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
 
     assert norm(got) == norm(want)
     assert len(got) == 1 and got[0]["total_kills"] == 105
+
+
+def test_window_metrics_watermark_late_data(spark, tmp_path):
+    """Watermarked event-time windows: a LATE row arriving in a later
+    micro-batch but within the watermark folds into its own (earlier)
+    window; windows emit in append mode once the watermark passes their
+    end; the still-open tail window does NOT emit; closed-window contents
+    equal the batch twin."""
+    import datetime as dt
+
+    from quake3_log_analyser_spark.streaming.metrics_stream import (
+        window_metrics_batch,
+        window_metrics_stream,
+    )
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(conv, turn, text, sec):
+        return (conv, turn, "assistant", text, "none", T0 + dt.timedelta(seconds=sec))
+
+    kill = " 0:01 Kill: 2 3 7: A killed B by MOD_ROCKET"
+    chunk1 = [
+        row("c1", 1, kill, 1),            # window W0 = [T0, T0+10)
+        row("c1", 2, "garbage line", 4),  # W0, unparsed
+        row("c2", 3, kill, 12),           # W1 = [T0+10, T0+20)
+    ]
+    # late row for W0 (event time 3 s) arriving in the SECOND micro-batch:
+    # watermark after batch 1 is max(12s) - 30s < 0, so it must be merged;
+    # the sentinel at +120 s then pushes the watermark to +90 s, closing
+    # W0 and W1 but NOT its own window
+    chunk2 = [
+        row("c3", 1, kill, 3),            # LATE into W0
+        row("c9", 1, "tail sentinel", 120),
+    ]
+    src = tmp_path / "metrics_src"
+    spark.createDataFrame(chunk1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    time.sleep(1.1)
+    spark.createDataFrame(chunk2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        window_metrics_stream(stream, window="10 seconds", watermark="30 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("window_metrics")
+        .option("checkpointLocation", str(tmp_path / "metrics_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
+                            r["approx_convs"])
+        for r in spark.sql("SELECT * FROM window_metrics").collect()
+    }
+    # only W0 and W1 closed; the sentinel's window stays open and unemitted
+    assert set(got) == {T0, T0 + dt.timedelta(seconds=10)}, got
+    assert got[T0] == (3, 2, 1, 2), got  # late kill row merged into W0
+    assert got[T0 + dt.timedelta(seconds=10)] == (1, 1, 0, 1)
+
+    # closed windows equal the batch twin over the same (non-sentinel) rows
+    batch = spark.createDataFrame(chunk1 + chunk2[:1], TRANSCRIPT_SCHEMA)
+    want = {
+        r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
+                            r["approx_convs"])
+        for r in window_metrics_batch(batch, window="10 seconds").collect()
+    }
+    assert got == want
