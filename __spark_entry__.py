@@ -359,6 +359,40 @@ GROUP BY f.conv_id, f.block, f.pname
 )
 
 
+def _q_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window telemetry (streaming/metrics_stream) in its batch
+    twin form — the exact-count columns under the oracle gate (the
+    HyperLogLog conv count is approximate by design and cross-engine
+    incomparable, so it stays out of the hashed projection)."""
+    from quake3_log_analyser_spark.streaming.metrics_stream import (
+        window_metrics_batch,
+    )
+
+    m = window_metrics_batch(_transcripts(spark, sf_dir), window="10 seconds")
+    return m.select(
+        "window_start", "window_end", "n_turns", "n_kills", "n_unparsed"
+    )
+
+
+_ORACLE_WINDOW_METRICS = (
+    _FEAT_SQL
+    + ", "
+    + _TEXT_SQL
+    + r"""
+SELECT
+  time_bucket(INTERVAL '10 seconds', f.ts) AS window_start,
+  time_bucket(INTERVAL '10 seconds', f.ts) + INTERVAL '10 seconds' AS window_end,
+  COUNT(*) AS n_turns,
+  SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = 'Kill'
+           THEN 1 ELSE 0 END) AS n_kills,
+  SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = ''
+           THEN 1 ELSE 0 END) AS n_unparsed
+FROM feat f JOIN rendered r ON f.conv_id = r.conv_id AND f.turn_idx = r.turn_idx
+GROUP BY 1, 2
+"""
+)
+
+
 def _q_multiop_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single-pass multi-op vectorized path (operators.summarize.
     summarize_multi): kills + means_of_death + reported_scores computed in
@@ -648,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "means_of_death": _q_means_of_death,
         "reported_scores": _q_reported_scores,
         "multiop_summary": _q_multiop_summary,
+        "window_metrics": _q_window_metrics,
         "enrich_reasons": _q_enrich_reasons,
         "route_counts": _q_route_counts,
         "errors_deadletter": _q_errors_deadletter,
@@ -666,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "means_of_death": _ORACLE_MEANS,
         "reported_scores": _ORACLE_SCORES,
         "multiop_summary": _ORACLE_MULTIOP,
+        "window_metrics": _ORACLE_WINDOW_METRICS,
         "enrich_reasons": _ORACLE_ENRICH,
         "route_counts": _ORACLE_ROUTE,
         "errors_deadletter": _ORACLE_ERRORS,
