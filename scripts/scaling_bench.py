@@ -85,13 +85,21 @@ def main():
 
     md = REPO / "BENCH"
     md.mkdir(exist_ok=True)
+    plan_desc = (
+        "conv_id-bucketed sorted table -> raw-text session window (no "
+        "shuffle, no sort) -> fenced expr parse -> per-match aggregate "
+        "(zero exchanges)"
+        if mode == "bucketed"
+        else "parquet scan -> expr/arrow parse -> shuffle+sort sessionize "
+        "window -> per-match aggregate"
+    )
     (md / "scaling_run.md").write_text(
-        f"""# BENCH/scaling_run — one N-vs-4N measurement (local[{n}] vs local[{4*n}])
+        f"""# BENCH/scaling_run — one N-vs-4N measurement (local[{n}] vs local[{4*n}], mode={mode})
 
-Protocol per BASELINE.md: identical job — parse (Arrow kernels) ->
-sessionize (window) -> per-match aggregate over {report['n_turns']:,}
-synthetic transcript turns — at two parallelism levels, fresh JVM each,
-shuffle partitions = cores, best of 2 timed runs after a warm-up.
+Protocol per BASELINE.md: identical job — {plan_desc} — over
+{report['n_turns']:,} synthetic transcript turns at two parallelism
+levels, fresh JVM each, shuffle partitions = cores, best of 3 timed runs
+after two warm-ups.
 
 | cores | end-to-end sec | turns/sec |
 |---|---|---|
