@@ -66,7 +66,7 @@ def main() -> None:
         units = run_resumable(
             spark, transcripts, args.output, args.checkpoint,
             run_id=args.run_id, n_units=args.n_units,
-            pedantic=args.pedantic,
+            pedantic=args.pedantic, ops=ops,
         )
         print(f"resumable run {args.run_id}: processed units {units}")
         if args.verbose and units:

@@ -157,16 +157,23 @@ def _build_unit_run(
     pending: list[int],
     n_units: int,
     pedantic: bool = False,
+    ops: frozenset[str] | set[str] = frozenset({"kills"}),
 ):
     """Shared single-pass core: pending-unit filter -> parse -> sessionize
     (with per-unit observe metrics) -> summaries re-keyed by convhash.
     Returns (summaries_df, observation).  ``pedantic=True`` makes the
     (arrow) parse task raise on the first malformed line — the unit's
-    partition write then fails before committing anything."""
+    partition write then fails before committing anything.  ``ops``
+    selects the summary menu: order-insensitive menus take the one-pass
+    vectorized aggregation (``summarize_multi``); a menu with
+    ``player_resolutions`` takes the exact replay fold, whose grouped-map
+    shuffle key (conv_id) co-partitions with the unit hash."""
     from ..operators.parse import parse_transcripts
     from ..operators.sessionize import sessionize
-    from ..operators.summarize import summarize_kills_only
+    from ..operators.summarize import summarize_extended, summarize_multi
+    from ..operators.translate import translate
 
+    ops = frozenset(ops)
     unit_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
     part = transcripts.withColumn("convhash", unit_col).filter(
         F.col("convhash").isin(pending)
@@ -186,9 +193,13 @@ def _build_unit_run(
         ]
     sess = sess.observe(obs, *exprs)
 
+    if "player_resolutions" in ops:
+        summaries = summarize_extended(translate(sess), ops)
+    else:
+        summaries = summarize_multi(sess, ops)
     # summarize drops the passthrough columns via aggregation; the unit is
     # a pure function of conv_id, so re-derive it for the partitioned write
-    summaries = summarize_kills_only(sess).withColumn(
+    summaries = summaries.withColumn(
         "convhash", F.pmod(F.xxhash64("conv_id"), F.lit(n_units)).cast("int")
     )
     return summaries, obs
@@ -218,6 +229,7 @@ def run_resumable(
     run_id: str,
     n_units: int = 16,
     pedantic: bool = False,
+    ops: frozenset[str] | set[str] = frozenset({"kills"}),
 ) -> list[str]:
     """Process the table's uncommitted conv_id-hash units in ONE pass.
 
@@ -225,6 +237,9 @@ def run_resumable(
     second time on the same inputs is a no-op (idempotent resume); killing
     it between the data write and the checkpoint append re-runs only the
     un-committed units, whose partitions are dynamically overwritten.
+    ``ops`` selects the summary menu (previously the resumable path always
+    computed kills-only, silently ignoring the CLI's --ops under
+    --resume).
     """
     done = committed_units(spark, checkpoint_path)
     pending = [u for u in range(n_units) if f"convhash={u}" not in done]
@@ -232,7 +247,7 @@ def run_resumable(
         return []
 
     t0 = time.perf_counter()
-    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic)
+    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic, ops)
     (
         summaries.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -265,6 +280,7 @@ def run_resumable_iceberg(
     run_id: str,
     n_units: int = 16,
     pedantic: bool = False,
+    ops: frozenset[str] | set[str] = frozenset({"kills"}),
 ) -> list[str]:
     """Snapshot-based idempotent resume on Iceberg tables (the 100 TB
     deployment posture; requires the Iceberg Spark runtime jars).
@@ -288,7 +304,7 @@ def run_resumable_iceberg(
         return []
 
     t0 = time.perf_counter()
-    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic)
+    summaries, obs = _build_unit_run(transcripts, pending, n_units, pedantic, ops)
     if spark.catalog.tableExists(summaries_table):
         summaries.writeTo(summaries_table).overwritePartitions()
     else:

@@ -220,3 +220,46 @@ def test_iceberg_snapshot_resume(spark, tmp_path):
     )
     assert done3 == ["convhash=1"]
     assert spark.read.table("it.db.summaries").count() == n_sum
+
+
+def test_checkpoint_resume_honors_ops(spark, tmp_path):
+    """The resumable path previously computed kills-only regardless of the
+    CLI's --ops; it must now honor the menu — the one-pass vectorized
+    aggregation for order-insensitive menus and the exact fold when
+    player_resolutions is requested — matching summarize_matches."""
+    from quake3_log_analyser_spark.plans.checkpoint import run_resumable
+    from quake3_log_analyser_spark.plans.pipeline import summarize_matches
+
+    path = FIXTURES_BLL / "discrepant.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "discrepant")
+
+    def norm(rows):
+        return sorted(
+            (
+                r["conv_id"], r["match_id"], r["total_kills"],
+                tuple(r["players"] or []),
+                tuple((m["mean"], m["count"]) for m in (r["kills_by_means"] or [])),
+                tuple((s["player"], s["frags"])
+                      for s in (r["game_reported_scores"] or [])),
+                r["graceful"], r["error"],
+            )
+            for r in rows
+        )
+
+    for tag, ops in (
+        ("multi", {"kills", "means_of_death", "reported_scores"}),
+        ("fold", {"kills", "means_of_death", "player_resolutions",
+                  "reported_scores"}),
+    ):
+        out = str(tmp_path / f"out_{tag}")
+        run_resumable(
+            spark, t, out, str(tmp_path / f"ckpt_{tag}"),
+            run_id="r1", n_units=2, ops=ops,
+        )
+        got = spark.read.parquet(f"{out}/summaries").drop("convhash").collect()
+        want = summarize_matches(t, ops=ops).collect()
+        assert norm(got) == norm(want), tag
+        summary = [r for r in got if r["error"] is None]
+        assert summary and all(r["kills_by_means"] for r in summary), tag

@@ -620,3 +620,41 @@ def test_extract_features_real_audio_pipeline(spark):
         for r in extract_features(media, dim=8, fake_decoder=False).collect()
     }
     assert real == again
+
+
+def test_ann_job_cli_index_then_query(spark, emb, tmp_path):
+    """jobs/run_ann.py: the index/query CLI round-trips through the
+    persisted centroid matrix and the cell-partitioned layout, matching
+    the inline ivf_topk with the same centroids."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import run_ann
+
+    from quake3_log_analyser_spark.operators.ann import (
+        ivf_seed_centroids,
+        ivf_topk,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    emb.write.mode("overwrite").parquet(corpus_path)
+    queries_path = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 5).write.parquet(queries_path)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "results")
+
+    run_ann.main(["index", "--corpus", corpus_path, "--index", idx,
+                  "--n-centroids", "16"])
+    run_ann.main(["query", "--index", idx, "--queries", queries_path,
+                  "--output", out, "--k", "5", "--nprobe", "2"])
+
+    cent = ivf_seed_centroids(emb, 16)  # same deterministic seed rule
+    want = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2,
+                    centroids=cent).collect()
+    got = spark.read.parquet(out).collect()
+    norm = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rnk"])
+        for r in rows
+    )
+    assert norm(got) == norm(want)
