@@ -407,19 +407,26 @@ def _q_multiop_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops={"kills", "means_of_death", "reported_scores"},
     ).filter(F.col("error").isNull())
     zero = F.lit(0).cast("long")
+
+    def nsize(c):
+        # NOT coalesce(size(c), 0): with this session's legacy sizeOfNull
+        # (ansi off) size(NULL) is -1, not NULL — a kill-free/score-free
+        # completed match would read -1 against the oracle's 0
+        return F.when(F.col(c).isNull(), F.lit(0)).otherwise(F.size(c)).cast(
+            "long"
+        )
+
     return out.select(
         "conv_id",
         F.col("match_id").cast("long").alias("match_id"),
         "total_kills",
         "graceful",
-        F.coalesce(F.size("kills_by_means"), F.lit(0)).cast("long").alias("n_means"),
+        nsize("kills_by_means").alias("n_means"),
         F.coalesce(
             F.aggregate("kills_by_means", zero, lambda a, x: a + x["count"]),
             zero,
         ).alias("means_total"),
-        F.coalesce(F.size("game_reported_scores"), F.lit(0))
-        .cast("long")
-        .alias("n_scored"),
+        nsize("game_reported_scores").alias("n_scored"),
         F.coalesce(
             F.aggregate("game_reported_scores", zero, lambda a, x: a + x["frags"]),
             zero,

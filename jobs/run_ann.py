@@ -82,9 +82,13 @@ def main(argv: list[str] | None = None) -> None:
             k=args.k, nprobe=args.nprobe,
             id_col=args.id_col, vec_col=args.vec_col,
         )
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("ann_results")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        print(f"ann query: {n} result rows -> {args.output}")
+        print(f"ann query: {obs.get['n']} result rows -> {args.output}")
 
 
 if __name__ == "__main__":

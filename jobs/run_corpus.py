@@ -69,6 +69,7 @@ def main(argv: list[str] | None = None) -> None:
     print(f"corpus run {args.run_id}: processed {stages or 'nothing (all committed)'}")
     if args.verbose:
         ck = spark.read.parquet(args.checkpoint)
+        ck = ck.filter(ck.run_id == args.run_id)
         for r in sorted(ck.collect(), key=lambda r: r["committed_at"]):
             print(
                 f"corpus_stage {r['unit']}: rows_in={r['n_input_rows']} "

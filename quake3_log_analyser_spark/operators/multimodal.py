@@ -255,9 +255,14 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             f"unrecognized audio magic {bytes(payload[:4])!r} (stdlib tier "
             "decodes RIFF/WAVE PCM; no compressed-audio codec in-container)"
         )
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        # RIFF magic but not a readable WAVE (an AVI, a truncated header):
+        # normalize to the ValueError contract decode_image also keeps
+        raise ValueError(f"RIFF payload is not decodable WAV: {e}") from e
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
     if dtype is None:
         raise ValueError(f"WAV sample width {sw} bytes unsupported (want 1/2/4)")
@@ -335,7 +340,15 @@ def extract_features(
                 if not fake_decoder and kind == "image":
                     feats.append(image_features(decode_image(b), dim).tolist())
                 elif not fake_decoder and kind == "audio" and b[:4] == b"RIFF":
-                    feats.append(audio_features(*decode_audio(b), dim).tolist())
+                    try:
+                        feats.append(
+                            audio_features(*decode_audio(b), dim).tolist()
+                        )
+                    except ValueError:
+                        # RIFF-but-undecodable (AVI container, truncated or
+                        # 24-bit WAV): the never-crash dispatch contract
+                        # sends it down the fake path like compressed audio
+                        feats.append(_fake_decode(b, dim).tolist())
                 else:
                     feats.append(_fake_decode(b, dim).tolist())
             yield pd.DataFrame(

@@ -101,6 +101,26 @@ def issue_counts(obs: Observation) -> dict[str, int]:
     return {k: int(v) for k, v in obs.get.items() if v}
 
 
+def _ops_marker(ops) -> str:
+    return "ops=" + ",".join(sorted(ops))
+
+
+def _check_ops_marker(done: set[str], ops, where: str) -> None:
+    """A checkpoint written under one op menu must not be resumed under
+    another: committed_units keys only on the unit hash, so a changed menu
+    would silently mix kills-only and multi-op rows partition-by-partition
+    in the same summaries table.  The menu rides the checkpoint as an
+    ``ops=...`` marker row; a mismatch is an error, not a merge."""
+    marker = _ops_marker(ops)
+    prior = {u for u in done if u.startswith("ops=")}
+    if prior and prior != {marker}:
+        raise ValueError(
+            f"checkpoint {where} was committed with {sorted(prior)} but this "
+            f"run requests {marker!r}; resuming would mix op menus across "
+            "units — use a fresh checkpoint/output or the original menu"
+        )
+
+
 def committed_units(spark: SparkSession, checkpoint_path: str) -> set[str]:
     try:
         rows = spark.read.parquet(checkpoint_path).select("unit").distinct().collect()
@@ -242,6 +262,7 @@ def run_resumable(
     --resume).
     """
     done = committed_units(spark, checkpoint_path)
+    _check_ops_marker(done, ops, checkpoint_path)
     pending = [u for u in range(n_units) if f"convhash={u}" not in done]
     if not pending:
         return []
@@ -255,6 +276,8 @@ def run_resumable(
         .parquet(f"{out_base}/summaries")
     )
     metrics = _unit_metrics(obs, pending, time.perf_counter() - t0)
+    if _ops_marker(ops) not in done:
+        metrics[_ops_marker(ops)] = {}
     commit_units(spark, checkpoint_path, run_id, metrics)
     return [f"convhash={u}" for u in pending]
 
@@ -299,6 +322,7 @@ def run_resumable_iceberg(
       the parquet path.
     """
     done = committed_units_table(spark, checkpoint_table)
+    _check_ops_marker(done, ops, checkpoint_table)
     pending = [u for u in range(n_units) if f"convhash={u}" not in done]
     if not pending:
         return []
@@ -315,6 +339,8 @@ def run_resumable_iceberg(
             .create()
         )
     metrics = _unit_metrics(obs, pending, time.perf_counter() - t0)
+    if _ops_marker(ops) not in done:
+        metrics[_ops_marker(ops)] = {}
     mdf = _metrics_df(spark, run_id, metrics)
     if spark.catalog.tableExists(checkpoint_table):
         mdf.writeTo(checkpoint_table).append()

@@ -40,33 +40,12 @@ def window_metrics_stream(
     Returns an append-mode-compatible streaming frame: one row per closed
     window ``(window_start, window_end, n_turns, n_kills, n_unparsed,
     approx_convs)``.  ``slide`` turns the tumbling window into a sliding
-    one.  The identical expression tree runs in BATCH mode for
-    backfill/parity (``window_metrics_batch``) — one definition, two
-    execution modes, the Structured Streaming contract.
+    one.  LITERALLY one definition, two execution modes: this is
+    ``window_metrics_batch``'s expression tree applied after the
+    watermark — batch/stream parity cannot drift.
     """
-    win = (
-        F.window("ts", window)
-        if slide is None
-        else F.window("ts", window, slide)
-    )
-    et = F.regexp_extract("text", _EVENT_RE, 1)
-    return (
-        transcripts_stream.withWatermark("ts", watermark)
-        .groupBy(win.alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum((et == "Kill").cast("long")).alias("n_kills"),
-            F.sum((et == "").cast("long")).alias("n_unparsed"),
-            F.approx_count_distinct("conv_id").alias("approx_convs"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            "n_turns",
-            "n_kills",
-            "n_unparsed",
-            "approx_convs",
-        )
+    return window_metrics_batch(
+        transcripts_stream.withWatermark("ts", watermark), window, slide
     )
 
 

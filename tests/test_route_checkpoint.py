@@ -76,8 +76,11 @@ def test_checkpoint_idempotent_resume(spark, tmp_path):
 
     done1 = run_resumable(spark, t, out, ckpt, run_id="r1", n_units=4)
     assert len(done1) == 4
-    # lineage/metrics rows exist per unit
+    # lineage/metrics rows exist per unit (+1 ops-marker row)
     ck = spark.read.parquet(ckpt)
+    assert ck.count() == 5
+    assert ck.filter(F.col("unit") == "ops=kills").count() == 1
+    ck = ck.filter(F.col("unit").startswith("convhash="))
     assert ck.count() == 4
     metrics = ck.agg(F.sum("n_input_rows"), F.sum("n_matches")).collect()[0]
     assert metrics[0] == t.count()
@@ -86,7 +89,7 @@ def test_checkpoint_idempotent_resume(spark, tmp_path):
     # re-run: everything committed -> no-op
     done2 = run_resumable(spark, t, out, ckpt, run_id="r2", n_units=4)
     assert done2 == []
-    assert spark.read.parquet(ckpt).count() == 4
+    assert spark.read.parquet(ckpt).count() == 5
 
     # partial resume: drop one unit's checkpoint rows -> only it re-runs
     kept = ck.filter(F.col("unit") != "convhash=1")
@@ -201,7 +204,7 @@ def test_iceberg_snapshot_resume(spark, tmp_path):
         spark, t, "it.db.summaries", "it.db.ckpt", run_id="r1", n_units=4
     )
     assert len(done1) == 4
-    assert spark.read.table("it.db.ckpt").count() == 4
+    assert spark.read.table("it.db.ckpt").count() == 5
     n_sum = spark.read.table("it.db.summaries").count()
 
     # idempotent: second run is a no-op, snapshot count unchanged for data
@@ -263,3 +266,27 @@ def test_checkpoint_resume_honors_ops(spark, tmp_path):
         assert norm(got) == norm(want), tag
         summary = [r for r in got if r["error"] is None]
         assert summary and all(r["kills_by_means"] for r in summary), tag
+
+
+def test_checkpoint_resume_rejects_changed_ops_menu(spark, tmp_path):
+    """A checkpoint committed under one op menu refuses to resume under
+    another — silently mixing kills-only and multi-op rows partition-by-
+    partition would be indistinguishable from 'match had no kills'."""
+    from quake3_log_analyser_spark.plans.checkpoint import run_resumable
+
+    path = FIXTURES_BLL / "discrepant.log"
+    if not path.exists():
+        pytest.skip("reference fixture unavailable")
+    t = transcripts_from_file(spark, str(path), "discrepant")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_resumable(spark, t, out, ckpt, run_id="r1", n_units=2, ops={"kills"})
+    with pytest.raises(ValueError, match="mix op menus"):
+        run_resumable(
+            spark, t, out, ckpt, run_id="r2", n_units=4,
+            ops={"kills", "means_of_death"},
+        )
+    # the original menu still resumes fine (no-op here)
+    assert run_resumable(
+        spark, t, out, ckpt, run_id="r3", n_units=2, ops={"kills"}
+    ) == []

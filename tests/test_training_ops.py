@@ -658,3 +658,26 @@ def test_ann_job_cli_index_then_query(spark, emb, tmp_path):
         for r in rows
     )
     assert norm(got) == norm(want)
+
+
+def test_extract_features_riff_but_not_wav_takes_fake_path(spark):
+    """A RIFF payload that is not decodable PCM WAV (an AVI container, a
+    truncated header) must NOT crash the real-decoder pipeline — the
+    never-crash dispatch contract routes it down the fake path."""
+    from quake3_log_analyser_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        extract_features,
+    )
+
+    bad_riff = b"RIFF\x24\x00\x00\x00AVI LIST"
+    with pytest.raises(ValueError):
+        decode_audio(bad_riff)
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x04\x00")  # truncated
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(bad_riff), (None, None, 16000, None, "audio/x"))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_features(media, dim=8, fake_decoder=False).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 8
