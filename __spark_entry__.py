@@ -1349,7 +1349,49 @@ WHERE g.doc_id NOT IN (SELECT doc_b FROM ({mh}) near)
 """
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (operators.corpus.hash_sample):
+    membership is a pure function of the doc key, so the draw is stable
+    across runs/partitionings/resumes — and exactly reproducible in SQL
+    because equal-length lowercase-hex strings compare like numbers."""
+    from quake3_log_analyser_spark.operators.corpus import hash_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return hash_sample(docs, rate=0.25, seed=7).select("doc_id")
+
+
+_ORACLE_HASH_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+def _q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota by hash order (operators.corpus.stratified_cap):
+    cap each document source at 10 docs (the sf tables carry ~25 per
+    source, so the cap BINDS), chosen by a reproducible uniform draw
+    instead of head-of-file bias."""
+    from quake3_log_analyser_spark.operators.corpus import stratified_cap
+
+    docs = _table(spark, sf_dir, "documents")
+    return stratified_cap(docs, "source", 10, seed=3).select("doc_id", "source")
+
+
+_ORACLE_STRATIFIED_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+
 _EXTRA_QUERIES = {
+    "hash_sample": _q_hash_sample,
+    "stratified_cap": _q_stratified_cap,
     "text_stats": _q_text_stats,
     "fingerprints": _q_fingerprints,
     "dedup_exact": _q_dedup_exact,
@@ -1370,6 +1412,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "hash_sample": _ORACLE_HASH_SAMPLE,
+    "stratified_cap": _ORACLE_STRATIFIED_CAP,
     "text_stats": _ORACLE_TEXT_STATS,
     "fingerprints": _ORACLE_FINGERPRINTS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -21,8 +21,64 @@ the underlying operators carries through the composition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hash_hex(key_col: str, seed: int):
+    """First 8 lowercase-hex chars of md5(seed || key) — a uniform
+    [0, 16^8) draw that is a pure function of the ROW, not of the run."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep a row iff the first 8 hex
+    chars of ``md5(seed|key)`` fall below ``rate`` of the hex space.
+
+    The property a training-data split needs and ``df.sample``/``rand()``
+    does NOT give: membership is a pure function of the key, so the same
+    row lands in the same split on every run, every partitioning, every
+    resume — and two DIFFERENT seeds give independent overlapping-free-ish
+    draws for train/held-out carving.  Lowercase-hex string comparison is
+    order-isomorphic to the numeric value and identical across engines,
+    which is what makes the DuckDB oracle twin exact.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    # 8 fixed hex digits: equal-length lowercase-hex strings compare
+    # exactly like their numeric values (a longer/padded threshold would
+    # compare char-by-char and break the isomorphism)
+    threshold = format(int(rate * 16**8), "08x")
+    return df.filter(_hash_hex(key_col, seed) < F.lit(threshold))
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum quota: keep at most ``n_per_stratum``
+    rows per stratum, chosen by hash order (a reproducible uniform draw,
+    not head-of-file bias).  The standard corpus-mixing primitive — cap
+    each source/language/domain at a budget.  One window per stratum;
+    hash order ties broken by the key itself for total determinism.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_hex(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_strat_rk", F.row_number().over(w))
+        .filter(F.col("_strat_rk") <= n_per_stratum)
+        .drop("_strat_rk")
+    )
 
 
 def clean_corpus(

@@ -681,3 +681,39 @@ def test_extract_features_riff_but_not_wav_takes_fake_path(spark):
     )
     rows = extract_features(media, dim=8, fake_decoder=False).collect()
     assert len(rows) == 1 and len(rows[0]["feature"]) == 8
+
+
+def test_hash_sample_deterministic_and_calibrated(spark, docs):
+    """hash_sample: same seed -> identical membership across calls and
+    repartitionings; different seeds -> different draws; realized rate
+    near the target; rate edge cases exact."""
+    from quake3_log_analyser_spark.operators.corpus import hash_sample
+
+    n = docs.count()
+    a1 = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=1).collect()}
+    a2 = {r["doc_id"] for r in hash_sample(docs.repartition(7), 0.3, seed=1).collect()}
+    assert a1 == a2, "membership must be partitioning-independent"
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=2).collect()}
+    assert a1 != b, "different seeds must give different draws"
+    assert 0.2 < len(a1) / n < 0.4, f"realized rate {len(a1)/n} off target 0.3"
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == n
+    # nested rates: a 0.1 draw is a subset of the 0.3 draw (same seed) —
+    # the property that makes monotone split growing possible
+    c = {r["doc_id"] for r in hash_sample(docs, 0.1, seed=1).collect()}
+    assert c <= a1
+
+
+def test_stratified_cap_quota_and_determinism(spark, docs):
+    from quake3_log_analyser_spark.operators.corpus import stratified_cap
+
+    capped = stratified_cap(docs, "source", 5, seed=0)
+    per = {r["source"]: r["n"] for r in
+           capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n_full in full.items():
+        assert per.get(src, 0) == min(5, n_full), (src, per.get(src), n_full)
+    again = sorted(r["doc_id"] for r in stratified_cap(docs, "source", 5, seed=0)
+                   .collect())
+    assert again == sorted(r["doc_id"] for r in capped.collect())
