@@ -1389,7 +1389,64 @@ SELECT doc_id, source FROM (
 """
 
 
+def _q_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.corpus.contaminated_docs):
+    every 50th document plays the eval set; flagged docs share >= 1
+    distinct 5-gram with it (the benchmark docs flag themselves — the
+    self-leak a real sweep must also catch)."""
+    from quake3_log_analyser_spark.operators.corpus import contaminated_docs
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contaminated_docs(docs, bench, n=5)
+
+
+_ORACLE_CONTAMINATED = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(range(1, len(t) - 5 + 2),
+              i -> array_to_string(list_slice(t, i, i + 4), ' '))) END AS grams
+  FROM tok
+),
+bg AS (SELECT DISTINCT g FROM gr, UNNEST(grams) AS u(g) WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id, g FROM gr, UNNEST(grams) AS u(g))
+SELECT doc_id, COUNT(*) AS n_hits
+FROM dg JOIN bg USING (g)
+GROUP BY doc_id
+"""
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition stats on sentence-ish units (the sf documents
+    are single-line, so the segment regex is '\\. ')."""
+    from quake3_log_analyser_spark.operators.corpus import repetition_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    return repetition_stats(docs, sep=r"\. ")
+
+
+_ORACLE_REPETITION = r"""
+WITH segs AS (
+  SELECT doc_id, trim(x) AS line
+  FROM documents, UNNEST(regexp_split_to_array(text, '\. ')) AS u(x)
+  WHERE trim(x) <> ''
+),
+per AS (SELECT doc_id, line, COUNT(*) AS cnt FROM segs GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+  round((SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt), 4) AS dup_line_ratio,
+  round(MAX(cnt) * 1.0 / SUM(cnt), 4) AS top_line_share
+FROM per GROUP BY doc_id
+"""
+
+
 _EXTRA_QUERIES = {
+    "contaminated_docs": _q_contaminated,
+    "repetition_stats": _q_repetition,
     "hash_sample": _q_hash_sample,
     "stratified_cap": _q_stratified_cap,
     "text_stats": _q_text_stats,
@@ -1412,6 +1469,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "contaminated_docs": _ORACLE_CONTAMINATED,
+    "repetition_stats": _ORACLE_REPETITION,
     "hash_sample": _ORACLE_HASH_SAMPLE,
     "stratified_cap": _ORACLE_STRATIFIED_CAP,
     "text_stats": _ORACLE_TEXT_STATS,

@@ -132,3 +132,78 @@ def clean_corpus(
     return gated.join(dropped, id_col, "left_anti").select(
         id_col, "quality", "lang_guess"
     )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= ``min_hits``
+    distinct word ``n``-grams with ANY benchmark/eval document.
+
+    The canonical test-set-leakage sweep of a training-data build.  Spark
+    shape: both sides explode their (lowercased, whitespace-tokenized)
+    distinct shingle sets and hash-join on the GRAM — never an all-pairs
+    doc comparison.  Eval sets are small, so the exploded benchmark grams
+    get a broadcast hint by default (a map-side join against a 10^12-row
+    corpus); pass ``broadcast_benchmark=False`` for a giant blocklist,
+    which then rides a plain shuffle join + AQE.  Returns
+    ``(doc_id, n_hits)`` for flagged docs — ``left_anti`` it against the
+    corpus to decontaminate.
+    """
+    from ..functions.text import word_ngrams
+
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition — the Gopher/RefinedWeb quality rule
+    family: per doc, the fraction of (trimmed, non-blank) segments that
+    are duplicates of an earlier segment, and the share held by the
+    single most-repeated one.  ``sep`` is a REGEX choosing the segment
+    unit — lines (default) or sentence-ish units (``r"\\. "``).
+    Boilerplate, navigation chrome and degenerate generations all light
+    up here.  Docs with no non-blank segment emit no row.  Two hash
+    aggregations, no window, no Python; ratios rounded to 4 dp so the
+    DuckDB twin hashes identically.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("raw")
+        )
+        .select(id_col, F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    per = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round((F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 4).alias(
+            "dup_line_ratio"
+        ),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_line_share"),
+    )

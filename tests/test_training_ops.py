@@ -717,3 +717,46 @@ def test_stratified_cap_quota_and_determinism(spark, docs):
     again = sorted(r["doc_id"] for r in stratified_cap(docs, "source", 5, seed=0)
                    .collect())
     assert again == sorted(r["doc_id"] for r in capped.collect())
+
+
+def test_contaminated_docs_flags_benchmark_overlap(spark, docs):
+    """Docs sharing an 8-gram with the eval set are flagged; clean docs are
+    not; the benchmark side is broadcast (map-side join vs a huge corpus)."""
+    from quake3_log_analyser_spark.operators.corpus import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "bid int, text string",
+    )
+    leaked = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog and more"),
+            (2, "completely unrelated content with no overlap whatsoever in it"),
+        ],
+        "doc_id int, text string",
+    )
+    out = contaminated_docs(leaked, bench, n=8)
+    hits = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from quake3_log_analyser_spark.operators.corpus import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nunique"),
+            (2, "a\nb\nc"),
+            (3, "   \n  "),  # blank-only -> no row
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_ratio"] == 0.5      # 2 of 4 lines are repeats
+    assert out[1]["top_line_share"] == 0.75
+    assert out[2]["dup_line_ratio"] == 0.0 and out[2]["top_line_share"] == round(1/3, 4)
