@@ -1444,7 +1444,68 @@ FROM per GROUP BY doc_id
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (operators.pack.chunk_documents):
+    32-token windows stepping 24 over the sf documents."""
+    from quake3_log_analyser_spark.operators.pack import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+_ORACLE_CHUNKS = r"""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, s, CAST((s - 1) / 24 AS INT) AS chunk_idx
+  FROM tok, UNNEST(range(1, greatest(len(t), 1) + 1, 24)) AS u(s)
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, list_slice(t, s, s + 31) AS ck
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(ck) AS BIGINT) AS n_tokens,
+  array_to_string(ck, ' ') AS chunk_text
+FROM chunks WHERE len(ck) > 0
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget bin packing (operators.pack.pack_sequences) with ONE
+    shard so the DuckDB twin needs no xxhash: hash-order running token sum
+    -> bin id.  The multi-shard variant shares the same per-shard logic
+    (pinned by pytest determinism/budget tests)."""
+    from quake3_log_analyser_spark.operators.pack import pack_sequences
+
+    docs = _table(spark, sf_dir, "documents")
+    return pack_sequences(docs, bin_tokens=512, n_shards=1, seed=7)
+
+
+_ORACLE_PACK = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, 0 AS shard,
+  CAST(floor(
+    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0
+  ) AS BIGINT) AS bin_seq
+FROM base
+"""
+
+
 _EXTRA_QUERIES = {
+    "chunk_documents": _q_chunk_documents,
+    "pack_sequences": _q_pack_sequences,
     "contaminated_docs": _q_contaminated,
     "repetition_stats": _q_repetition,
     "hash_sample": _q_hash_sample,
@@ -1469,6 +1530,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "chunk_documents": _ORACLE_CHUNKS,
+    "pack_sequences": _ORACLE_PACK,
     "contaminated_docs": _ORACLE_CONTAMINATED,
     "repetition_stats": _ORACLE_REPETITION,
     "hash_sample": _ORACLE_HASH_SAMPLE,

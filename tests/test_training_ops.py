@@ -760,3 +760,51 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert out[1]["dup_line_ratio"] == 0.5      # 2 of 4 lines are repeats
     assert out[1]["top_line_share"] == 0.75
     assert out[2]["dup_line_ratio"] == 0.0 and out[2]["top_line_share"] == round(1/3, 4)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from quake3_log_analyser_spark.operators.pack import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2, "a b"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    out = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+         for r in chunk_documents(d, chunk_tokens=4, overlap=1).collect())
+    )
+    assert out == [
+        (1, 0, 4, "w1 w2 w3 w4"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 4, "w7 w8 w9 w10"),
+        (1, 3, 1, "w10"),
+        (2, 0, 2, "a b"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_budget_and_determinism(spark, docs):
+    from quake3_log_analyser_spark.operators.pack import pack_sequences
+
+    packed = pack_sequences(docs, bin_tokens=300, n_shards=4, seed=1).collect()
+    assert len(packed) == docs.count(), "every doc must land in a bin"
+    assert {r["shard"] for r in packed} <= set(range(4))
+    # bin invariant per shard: a doc in bin b STARTS inside [b*300,(b+1)*300)
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows = sorted(rows, key=lambda r: (r["bin_seq"], r["doc_id"]))
+        bins = {}
+        for r in rows:
+            bins.setdefault(r["bin_seq"], 0)
+        # reconstruct: cumulative sums in bin order must respect boundaries
+        seqs = sorted(bins)
+        assert seqs[0] == 0 and seqs == list(range(len(seqs))), (
+            f"shard {shard} bins not contiguous: {seqs}"
+        )
+    # determinism across repartitioning
+    again = pack_sequences(docs.repartition(13), bin_tokens=300, n_shards=4,
+                           seed=1).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
