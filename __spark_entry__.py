@@ -1503,7 +1503,52 @@ FROM base
 """
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii): the sf documents carry
+    no PII, so both engines append the SAME synthetic email/URL/IP tail
+    derived from doc_id before scrubbing — the patterns then BIND and the
+    redacted text + counts must round-trip identically."""
+    from quake3_log_analyser_spark.functions.text import pii_counts, redact_pii
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://site"), F.col("doc_id").cast("string"),
+        F.lit(".org/x at 10.0.0.1 now"),
+    )
+    n_emails, n_urls, n_ips = pii_counts(t)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_ips.alias("n_ips"),
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+_ORACLE_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com via https://site' || CAST(doc_id AS VARCHAR)
+         || '.org/x at 10.0.0.1 now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      'https?://[^\s]+', '[URL]', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
 _EXTRA_QUERIES = {
+    "pii_redaction": _q_pii_redaction,
     "chunk_documents": _q_chunk_documents,
     "pack_sequences": _q_pack_sequences,
     "contaminated_docs": _q_contaminated,
@@ -1530,6 +1575,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "pii_redaction": _ORACLE_PII,
     "chunk_documents": _ORACLE_CHUNKS,
     "pack_sequences": _ORACLE_PACK,
     "contaminated_docs": _ORACLE_CONTAMINATED,

@@ -162,3 +162,31 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
         *[F.array_min(F.transform(shingles, _seeded(i))) for i in range(n_hashes)]
     )
     return F.when(F.size(shingles) > 0, sig)
+
+
+# -- PII scrubbing (emails / URLs / IPv4) ------------------------------------
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically — character classes, bounded repetition, \b, (?:...) — so the
+# redaction is exactly reproducible in the SQL oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_counts(text: Column):
+    """(n_emails, n_urls, n_ips) — the audit numbers a scrubbing pass
+    reports per document."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(text, F.lit(URL_RE)).cast("long"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails -> [EMAIL], then URLs -> [URL], then bare IPv4s ->
+    [IP].  Fixed application order makes the result deterministic when
+    patterns could overlap (an email inside a URL)."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, URL_RE, "[URL]")
+    return F.regexp_replace(out, IPV4_RE, "[IP]")

@@ -808,3 +808,28 @@ def test_pack_sequences_budget_and_determinism(spark, docs):
     again = pack_sequences(docs.repartition(13), bin_tokens=300, n_shards=4,
                            seed=1).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_pii_redaction_patterns(spark):
+    from quake3_log_analyser_spark.functions.text import pii_counts, redact_pii
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.co and see https://x.io/p?q=1 from 192.168.0.1"),
+            (2, "no pii here, just 1.2 version numbers and an @mention"),
+        ],
+        "doc_id int, text string",
+    )
+    t = F.col("text")
+    e, u, i = pii_counts(t)
+    rows = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id", "text", e.alias("e"), u.alias("u"), i.alias("i"),
+            redact_pii(t).alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["u"], rows[1]["i"]) == (1, 1, 1)
+    assert rows[1]["red"] == "mail [EMAIL] and see [URL] from [IP]"
+    assert (rows[2]["e"], rows[2]["u"], rows[2]["i"]) == (0, 0, 0)
+    assert rows[2]["red"] == rows[2]["text"], "pii-free text must be unchanged"
