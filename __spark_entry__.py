@@ -383,10 +383,10 @@ SELECT
   time_bucket(INTERVAL '10 seconds', f.ts) AS window_start,
   time_bucket(INTERVAL '10 seconds', f.ts) + INTERVAL '10 seconds' AS window_end,
   COUNT(*) AS n_turns,
-  SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = 'Kill'
-           THEN 1 ELSE 0 END) AS n_kills,
-  SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = ''
-           THEN 1 ELSE 0 END) AS n_unparsed
+  CAST(SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = 'Kill'
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kills,
+  CAST(SUM(CASE WHEN regexp_extract(r.text, '^ *[^ ]+ ([A-Za-z]+):', 1) = ''
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
 FROM feat f JOIN rendered r ON f.conv_id = r.conv_id AND f.turn_idx = r.turn_idx
 GROUP BY 1, 2
 """
@@ -452,7 +452,8 @@ last_scores AS (
   GROUP BY s.conv_id, s.block, s.pname
 ),
 score_agg AS (
-  SELECT conv_id, block, COUNT(*) AS n_scored, SUM(frags) AS score_sum
+  SELECT conv_id, block, COUNT(*) AS n_scored,
+         CAST(SUM(frags) AS BIGINT) AS score_sum
   FROM last_scores GROUP BY conv_id, block
 )
 SELECT c.conv_id, c.block AS match_id,
@@ -461,7 +462,7 @@ SELECT c.conv_id, c.block AS match_id,
   COALESCE(k.n_means, 0) AS n_means,
   COALESCE(k.total_kills, 0) AS means_total,
   COALESCE(sa.n_scored, 0) AS n_scored,
-  COALESCE(sa.score_sum, 0) AS score_sum
+  CAST(COALESCE(sa.score_sum, 0) AS BIGINT) AS score_sum
 FROM completed c
 LEFT JOIN kill_agg k ON k.conv_id = c.conv_id AND k.block = c.block
 LEFT JOIN score_agg sa ON sa.conv_id = c.conv_id AND sa.block = c.block
