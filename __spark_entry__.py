@@ -508,18 +508,27 @@ GROUP BY k.reason_id, d.dict_reason_name
 
 
 def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink routed-row counts in ONE scan: the same ``sink_label()``
+    discriminator the production ``write_sinks`` single-pass
+    ``partitionBy(sink)`` write uses, as a groupBy projection (the prior
+    form unioned five ``route()`` branch counts — five scans of the
+    sessionized frame for a 5-row result).  The 5-row literal sink list is
+    joined back (broadcast) so an empty sink still reports 0, matching the
+    oracle's UNION ALL shape at any scale factor."""
     from quake3_log_analyser_spark.operators.parse import parse_transcripts
-    from quake3_log_analyser_spark.operators.route import route
+    from quake3_log_analyser_spark.operators.route import SINKS, sink_label
     from quake3_log_analyser_spark.operators.sessionize import sessionize
 
     s = sessionize(parse_transcripts(_transcripts(spark, sf_dir)))
-    counts = None
-    for name, df in route(s).items():
-        c = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("sink"), "n_rows"
-        )
-        counts = c if counts is None else counts.unionAll(c)
-    return counts
+    counts = (
+        s.groupBy(sink_label().alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("sink").isNotNull())
+    )
+    names = spark.createDataFrame([(n,) for n in SINKS], "sink string")
+    return names.join(F.broadcast(counts), "sink", "left").select(
+        "sink", F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows")
+    )
 
 
 _ORACLE_ROUTE = (
@@ -1462,8 +1471,9 @@ WITH tok AS (
   FROM documents
 ),
 starts AS (
+  -- start positions capped at len - overlap: no overlap-only tail chunk
   SELECT doc_id, t, s, CAST((s - 1) / 24 AS INT) AS chunk_idx
-  FROM tok, UNNEST(range(1, greatest(len(t), 1) + 1, 24)) AS u(s)
+  FROM tok, UNNEST(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS u(s)
 ),
 chunks AS (
   SELECT doc_id, chunk_idx, list_slice(t, s, s + 31) AS ck
@@ -1538,11 +1548,11 @@ WITH aug AS (
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(t, 'https?://[^ \t\n\r\x0b\f]+')) AS BIGINT) AS n_urls,
   CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
   md5(regexp_replace(regexp_replace(regexp_replace(t,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      'https?://[^\s]+', '[URL]', 'g'),
+      'https?://[^ \t\n\r\x0b\f]+', '[URL]', 'g'),
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
 FROM aug
 """

@@ -6,15 +6,21 @@
         --output <output base path> \
         --checkpoint <checkpoint table path> \
         --run-id corpus-2024-06-01 [--resume] [--verbose] \
+        [--ops dedup,gate,pii,decontaminate,repetition_gate,neardup,chunk,pack] \
+        [--benchmark <eval-set parquet path>] \
         [--min-quality 0.45] [--langs en] [--salts 8]
 
-Runs exact dedup -> quality/language gate -> MinHash-LSH near-dup removal
-(the ``clean_corpus`` composition) with stage-level checkpoint/resume and
-per-stage lineage + row metrics — the same observability the match
-pipeline's ``jobs/run_pipeline.py`` has.  ``--resume`` skips committed
-stages and picks up from the last stage's materialized output.
-``--salts`` routes the exact-dedup survivor join-back through the explicit
-salted join for viral-boilerplate fingerprints.
+Runs the selected corpus stages (exact dedup, quality/language gate, PII
+redaction, benchmark decontamination, repetition gating, MinHash-LSH
+near-dup removal, chunking, sequence packing — the full op menu of
+plans/corpus_run.py, mirroring the reference CLI's operation menu,
+app/src/main.rs:86-97) with stage-level checkpoint/resume and per-stage
+lineage + row metrics — the same observability the match pipeline's
+``jobs/run_pipeline.py`` has.  ``--resume`` skips committed stages and
+picks up from the last stage's materialized output; resuming under a
+changed ``--ops`` menu or changed tunables raises instead of mixing
+configurations.  ``--salts`` routes the exact-dedup survivor join-back
+through the explicit salted join for viral-boilerplate fingerprints.
 """
 
 from __future__ import annotations
@@ -34,6 +40,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--run-id", default=f"corpus-{int(time.time())}")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ops", default="dedup,gate,neardup",
+                    help="comma-separated stage menu (canonical order "
+                         "enforced): dedup,gate,pii,decontaminate,"
+                         "repetition_gate,neardup,chunk,pack")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet path (required by decontaminate)")
     ap.add_argument("--min-quality", type=float, default=0.45)
     ap.add_argument("--langs", default="en",
                     help="comma-separated allowed language guesses")
@@ -41,6 +53,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--threshold", type=float, default=0.6)
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="word n-gram size for decontamination")
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument("--max-dup-line-ratio", type=float, default=0.3)
+    ap.add_argument("--chunk-tokens", type=int, default=128)
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--bin-tokens", type=int, default=2048)
+    ap.add_argument("--n-shards", type=int, default=1,
+                    help="independent packing shards (O(cluster cores))")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--salts", type=int, default=1,
                     help=">1 salts the exact-dedup survivor join-back "
                          "(hot-fingerprint skew)")
@@ -59,10 +81,18 @@ def main(argv: list[str] | None = None) -> None:
     stages = run_corpus_resumable(
         spark, docs, args.output, args.checkpoint,
         run_id=args.run_id,
+        ops=tuple(s for s in args.ops.split(",") if s),
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")),
         n=args.shingle_n, n_hashes=args.n_hashes,
         bands=args.bands, threshold=args.threshold,
+        benchmark_path=args.benchmark,
+        decontam_n=args.decontam_n,
+        decontam_min_hits=args.decontam_min_hits,
+        max_dup_line_ratio=args.max_dup_line_ratio,
+        chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+        bin_tokens=args.bin_tokens, n_shards=args.n_shards,
+        seed=args.seed,
         salts=args.salts,
         resume=args.resume,
     )

@@ -169,7 +169,10 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
 # identically — character classes, bounded repetition, \b, (?:...) — so the
 # redaction is exactly reproducible in the SQL oracle.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+# explicit whitespace class, NOT \s: Java's \s includes \x0B (vertical
+# tab) but RE2's does not, so a \s-based negation tokenizes differently
+# across engines on control-character text
+URL_RE = "https?://[^ \t\n\r\x0b\f]+"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 

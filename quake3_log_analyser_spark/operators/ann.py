@@ -100,13 +100,21 @@ def lsh_signature(vec_col, n_planes: int, seed: int = 42, dim: int | None = None
     matmul.  NULL vectors yield NULL signatures (round-2 ADVICE: the
     previous form crashed ``np.stack`` on a None in the batch).
 
-    When ``dim`` is omitted the width is locked to the FIRST observed
-    vector and any later mismatch raises: silently deriving a second
-    hyperplane set per width would make signatures incomparable across
-    widths — garbage bucketing instead of an error (round-3 ADVICE).
+    With an explicit ``dim`` any other observed width raises.  When
+    ``dim`` is omitted the planes are a deterministic pure function of
+    ``(width, n_planes, seed)`` and the per-worker cache is keyed by
+    WIDTH, so every worker — whatever subset of partitions it sees —
+    derives the identical matrix for a given width.  Vectors of different
+    widths therefore hash in separate, internally-consistent spaces; a
+    worker-local first-width lock (the previous form) could silently lock
+    DIFFERENT widths on different workers when widths are segregated by
+    partition (round-4 ADVICE).  Cross-width signatures still must not be
+    COMPARED, so every LSH consumer in this module carries the vector
+    width in its band join key (``vdim``) — cross-width rows can never
+    share a bucket by construction.
     """
 
-    cache: dict[str, np.ndarray] = {}  # per-worker: the locked plane matrix
+    cache: dict[int, np.ndarray] = {}  # per-worker: width -> plane matrix
 
     @F.pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
@@ -117,26 +125,22 @@ def lsh_signature(vec_col, n_planes: int, seed: int = 42, dim: int | None = None
         )
         if not mask.any():
             return out
-        widths = {len(v) for v in vecs[mask]}
-        if len(widths) > 1 or (dim is not None and widths != {dim}):
+        by_width: dict[int, list] = {}
+        for i in vecs.index[mask]:
+            a = np.asarray(vecs[i], dtype=np.float64)
+            by_width.setdefault(a.shape[0], []).append((i, a))
+        if dim is not None and set(by_width) != {dim}:
             raise ValueError(
-                f"lsh_signature: mixed embedding widths {sorted(widths)}"
-                + (f" (expected dim={dim})" if dim is not None else "")
-                + " — signatures across widths are incomparable; fix the "
-                "column or pass an explicit dim"
+                f"lsh_signature: embedding widths {sorted(by_width)} do not "
+                f"match the declared dim={dim}; fix the column or drop dim"
             )
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
-        d = dim if dim is not None else mat.shape[1]
-        if "planes" not in cache:
-            cache["planes"] = _hyperplanes(d, n_planes, seed)
-        elif cache["planes"].shape[1] != d:
-            raise ValueError(
-                f"lsh_signature: embedding width changed across batches "
-                f"({cache['planes'].shape[1]} -> {d}); pass an explicit dim"
-            )
-        bits = (mat @ cache["planes"].T) >= 0.0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
-        out[mask] = (bits * weights).sum(axis=1)
+        for d, items in by_width.items():
+            if d not in cache:
+                cache[d] = _hyperplanes(d, n_planes, seed)
+            mat = np.stack([a for _, a in items])
+            bits = (mat @ cache[d].T) >= 0.0
+            out[[i for i, _ in items]] = (bits * weights).sum(axis=1)
         return out
 
     return _sig(vec_col)
@@ -162,8 +166,10 @@ def lsh_cosine_topk(
 
     ``dim`` is optional: when omitted the hyperplanes are derived from the
     observed vector width inside the signature UDF (no driver-side job —
-    the round-2 ``.first()`` sniff is gone).  Pass it explicitly if the
-    column may mix widths.
+    the round-2 ``.first()`` sniff is gone), deterministically per width,
+    and the band join key carries the width so mixed-width columns can
+    never produce cross-width candidates.  Pass ``dim`` explicitly to
+    assert a single width (mismatch raises).
     """
     rows_per_band = n_planes // bands
 
@@ -172,9 +178,13 @@ def lsh_cosine_topk(
         out = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_vec"),
             sig.alias("sig"),
+            # vector width rides the join key: signatures derived for
+            # different widths live in separate hash spaces and must never
+            # share a bucket (see lsh_signature)
+            F.size(F.col(vec_col)).alias("vdim"),
         )
         return out.select(
-            idname, f"{idname}_vec",
+            idname, f"{idname}_vec", "vdim",
             F.explode(
                 F.array(
                     *[
@@ -188,12 +198,12 @@ def lsh_cosine_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select(idname, f"{idname}_vec", "bb.band", "bb.chunk")
+        ).select(idname, f"{idname}_vec", "vdim", "bb.band", "bb.chunk")
 
     qb = F.broadcast(banded(queries, "query_id"))
     cb = banded(corpus, "neighbor_id")
     cands = (
-        qb.join(cb, ["band", "chunk"])
+        qb.join(cb, ["band", "chunk", "vdim"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -226,13 +236,15 @@ def embedding_near_dups(
 
     ``dim`` optional as in ``lsh_cosine_topk`` — omitted means the
     signature UDF derives the hyperplanes from the observed vector width
-    (no driver job)."""
+    (no driver job), and the self-join key carries the width so pairs
+    never cross widths."""
     rows_per_band = n_planes // bands
     sig = lsh_signature(F.col(vec_col), n_planes, seed, dim)
     banded = df.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("sig")
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("sig"),
+        F.size(F.col(vec_col)).alias("vdim"),
     ).select(
-        "doc_id", "vec",
+        "doc_id", "vec", "vdim",
         F.explode(
             F.array(
                 *[
@@ -246,13 +258,14 @@ def embedding_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "vec", "bb.band", "bb.chunk")
+    ).select("doc_id", "vec", "vdim", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.vdim") == F.col("b.vdim"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -33,8 +33,11 @@ def chunk_documents(
     ``chunk_tokens`` tokens, stepping ``chunk_tokens - overlap`` tokens —
     the standard long-document treatment before packing/embedding.
 
-    One chunk per start position ``1, 1+step, ...`` while the start lies
-    inside the token array; the final chunk may be shorter.  Empty/blank
+    One chunk per start position ``1, 1+step, ...`` while the start still
+    ADDS tokens — i.e. up to ``max(k - overlap, 1)`` for a ``k``-token
+    document, so a tail chunk lying entirely inside the previous window
+    (pure overlap, duplicated tokens as a standalone training sequence)
+    is never emitted; the final chunk may be shorter.  Empty/blank
     documents emit no row.  Returns ``(doc_id, chunk_idx, n_tokens,
     chunk_text)`` with ``chunk_idx`` 0-based in document order.
     """
@@ -46,7 +49,7 @@ def chunk_documents(
     toks = ws_tokens(F.col(text_col))
     k = F.size(toks)
     chunks = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1)), F.lit(step)),
+        F.sequence(F.lit(1), F.greatest(k - overlap, F.lit(1)), F.lit(step)),
         lambda s: F.slice(toks, s, chunk_tokens),
     )
     return (

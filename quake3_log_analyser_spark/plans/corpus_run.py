@@ -5,11 +5,27 @@ The match pipeline's resume story (plans/checkpoint.py) partitions work by
 NOT row-decomposable that way — a duplicate pair can span any two doc
 partitions (exact dedup groups by global fingerprint, LSH by global band
 bucket) — so the resume unit here is the STAGE, the standard posture for a
-100 TB data build where each stage materializes its output anyway:
+100 TB data build where each stage materializes its output anyway.
 
-  1. ``dedup``   — exact-duplicate removal -> ``{out}/deduped``
-  2. ``gate``    — quality + language filter -> ``{out}/gated``
-  3. ``neardup`` — MinHash-LSH near-dup drop -> ``{out}/cleaned``
+The stage menu is configurable (``ops``), mirroring the reference CLI's
+operation menu (app/src/main.rs:86-97) and the match pipeline's ``--ops``:
+
+  dedup           exact-duplicate removal            -> ``{out}/deduped``
+  gate            quality + language filter          -> ``{out}/gated``
+  pii             email/URL/IPv4 redaction in text   -> ``{out}/pii_redacted``
+  decontaminate   drop docs sharing n-grams with a
+                  benchmark/eval set                 -> ``{out}/decontaminated``
+  repetition_gate drop docs above a dup-line ratio   -> ``{out}/repetition_gated``
+  neardup         MinHash-LSH near-dup drop          -> ``{out}/cleaned``
+  chunk           fixed-token overlapping windows    -> ``{out}/chunks``
+  pack            token-budget bin assignment        -> ``{out}/packed``
+
+Stages always execute in the canonical order above regardless of the order
+``ops`` lists them; each stage reads the PREVIOUS selected stage's
+committed parquet.  ``text`` flows through every filter stage so any
+suffix of the menu (chunk/pack, or a downstream tokenizer) still has the
+content; ``pack`` packs chunks when ``chunk`` precedes it, else whole
+documents.
 
 Each stage writes its parquet output FIRST and appends one lineage row to
 the checkpoint table AFTER (write-ahead ordering, same as the match
@@ -17,27 +33,79 @@ pipeline): a crash between the two re-runs only that stage, whose
 ``overwrite`` write is idempotent.  A resumed run reads the previous
 stage's committed output from disk instead of recomputing it.
 
+Two marker rows guard resume correctness (the ``_check_ops_marker``
+pattern from plans/checkpoint.py): ``ops=...`` pins the stage menu, and
+``params=<hash>`` pins the stage-relevant tunables (thresholds, bands,
+chunk sizes, ...).  Resuming a checkpoint with a different menu or
+different parameters raises instead of silently mixing old-parameter
+intermediate outputs into the new run.
+
 Lineage rows reuse CHECKPOINT_SCHEMA with the documented column mapping
 ``n_input_rows`` = rows into the stage, ``n_matches`` = rows kept by the
 stage (``n_parse_errors`` unused, 0).  Both counts ride the stage's own
 write job via ``df.observe`` — zero extra scans.
 
-The composition is semantically identical to ``operators.corpus.
-clean_corpus`` (same defaults, same greedy keep-min rule) — pinned by a
-pytest that diffs the CLI output against the library call, plus the
-driver's ★clean_corpus oracle on the library form.
+The dedup->gate->neardup composition is semantically identical to
+``operators.corpus.clean_corpus`` (same defaults, same greedy keep-min
+rule) — pinned by a pytest that diffs the CLI output against the library
+call, plus the driver's ★clean_corpus oracle on the library form.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .checkpoint import commit_unit, committed_units
+from .checkpoint import commit_unit, commit_units, committed_units
 
-STAGES = ("dedup", "gate", "neardup")
+# canonical execution order; ``ops`` selects a subset of these
+STAGES = (
+    "dedup",
+    "gate",
+    "pii",
+    "decontaminate",
+    "repetition_gate",
+    "neardup",
+    "chunk",
+    "pack",
+)
+DEFAULT_OPS = ("dedup", "gate", "neardup")
+
+_STAGE_DIRS = {
+    "dedup": "deduped",
+    "gate": "gated",
+    "pii": "pii_redacted",
+    "decontaminate": "decontaminated",
+    "repetition_gate": "repetition_gated",
+    "neardup": "cleaned",
+    "chunk": "chunks",
+    "pack": "packed",
+}
+
+
+def _params_marker(params: dict) -> str:
+    """``params=<12-hex>`` — a stable fingerprint of every tunable that
+    changes a stage's OUTPUT.  Committed to the checkpoint alongside the
+    ops marker so a resume under different parameters raises instead of
+    mixing old-parameter stage outputs into the new run (the bug class
+    ``_check_ops_marker`` exists to prevent for the op menu)."""
+    blob = json.dumps(params, sort_keys=True, default=str)
+    return "params=" + hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
+def _check_marker(done: set[str], marker: str, prefix: str, where: str) -> None:
+    prior = {u for u in done if u.startswith(prefix)}
+    if prior and prior != {marker}:
+        raise ValueError(
+            f"checkpoint {where} was committed with {sorted(prior)} but this "
+            f"run requests {marker!r}; resuming would mix configurations "
+            "across stages — use a fresh checkpoint/output or the original "
+            "configuration"
+        )
 
 
 def _run_stage(
@@ -72,58 +140,94 @@ def run_corpus_resumable(
     out_base: str,
     checkpoint_path: str,
     run_id: str,
+    ops: tuple[str, ...] = DEFAULT_OPS,
     min_quality: float = 0.45,
     langs: tuple[str, ...] = ("en",),
     n: int = 1,
     n_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.6,
+    benchmark_path: str | None = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+    max_dup_line_ratio: float = 0.3,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    bin_tokens: int = 2048,
+    n_shards: int = 1,
+    seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
     salts: int = 1,
     resume: bool = True,
 ) -> list[str]:
-    """Run the uncommitted stages; returns the stages processed this call.
+    """Run the uncommitted stages of ``ops``; returns the stages processed.
 
     With ``resume=True``, calling it again on the same inputs is a no-op
     (idempotent resume); killing it between a stage's data write and its
     checkpoint append re-runs exactly that stage.  ``resume=False``
-    processes ALL stages regardless of prior commits (a fresh run over the
-    same checkpoint table — lineage rows still append under the new
-    run_id, stage outputs are overwritten).
+    processes ALL selected stages regardless of prior commits (a fresh run
+    over the same checkpoint table — lineage rows still append under the
+    new run_id, stage outputs are overwritten).  Resuming under a changed
+    ``ops`` menu or changed tunables raises (marker rows).
     """
-    from ..functions.text import lang_guess, quality_score
+    from ..functions.text import lang_guess, quality_score, redact_pii
+    from ..operators.corpus import contaminated_docs, repetition_stats
     from ..operators.dedup import dedup_survivors, minhash_lsh_pairs
+    from ..operators.pack import chunk_documents, pack_sequences
 
-    done = committed_units(spark, checkpoint_path) if resume else set()
+    selected = tuple(s for s in STAGES if s in ops)
+    unknown = set(ops) - set(STAGES)
+    if unknown:
+        raise ValueError(f"unknown corpus stages {sorted(unknown)}; know {STAGES}")
+    if not selected:
+        raise ValueError("ops selects no stages")
+    if "decontaminate" in selected and benchmark_path is None:
+        raise ValueError("decontaminate stage needs benchmark_path")
+
+    ops_marker = "ops=" + ",".join(selected)
+    params_marker = _params_marker(
+        {
+            "min_quality": min_quality,
+            "langs": tuple(langs),
+            "n": n,
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "threshold": threshold,
+            "benchmark_path": benchmark_path,
+            "decontam_n": decontam_n,
+            "decontam_min_hits": decontam_min_hits,
+            "max_dup_line_ratio": max_dup_line_ratio,
+            "chunk_tokens": chunk_tokens,
+            "overlap": overlap,
+            "bin_tokens": bin_tokens,
+            "n_shards": n_shards,
+            "seed": seed,
+            "id_col": id_col,
+            "text_col": text_col,
+            "salts": salts,
+        }
+    )
+    committed = committed_units(spark, checkpoint_path)
+    done = committed if resume else set()
+    if resume:
+        _check_marker(done, ops_marker, "ops=", checkpoint_path)
+        _check_marker(done, params_marker, "params=", checkpoint_path)
+
     processed: list[str] = []
 
     def count_obs(df: DataFrame, label: str):
         obs = Observation(label)
         return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
 
-    deduped_path = f"{out_base}/deduped"
-    if "stage=dedup" not in done:
-        d, obs_in = count_obs(docs, "corpus_dedup_in")
-        removed = dedup_survivors(d, text_col, id_col, salts=salts).select(
-            F.col("doc_id").alias(id_col)
-        )
-        survivors, obs_out = count_obs(
-            d.join(removed, id_col, "left_anti"), "corpus_dedup_out"
-        )
-        _run_stage(
-            spark, "dedup", survivors, obs_in, obs_out,
-            deduped_path, checkpoint_path, run_id,
-        )
-        processed.append("stage=dedup")
-
-    gated_path = f"{out_base}/gated"
-    if "stage=gate" not in done:
-        survivors, obs_in = count_obs(
-            spark.read.parquet(deduped_path), "corpus_gate_in"
-        )
-        gated, obs_out = count_obs(
-            survivors.select(
+    def transform(stage: str, inp: DataFrame) -> DataFrame:
+        if stage == "dedup":
+            removed = dedup_survivors(inp, text_col, id_col, salts=salts).select(
+                F.col("doc_id").alias(id_col)
+            )
+            return inp.join(removed, id_col, "left_anti")
+        if stage == "gate":
+            return inp.select(
                 F.col(id_col),
                 F.col(text_col),
                 F.round(quality_score(F.col(text_col)), 4).alias("quality"),
@@ -131,32 +235,76 @@ def run_corpus_resumable(
             ).filter(
                 (F.col("quality") >= min_quality)
                 & F.col("lang_guess").isin(list(langs))
-            ),
-            "corpus_gate_out",
-        )
-        _run_stage(
-            spark, "gate", gated, obs_in, obs_out,
-            gated_path, checkpoint_path, run_id,
-        )
-        processed.append("stage=gate")
+            )
+        if stage == "pii":
+            return inp.withColumn(text_col, redact_pii(F.col(text_col)))
+        if stage == "decontaminate":
+            flagged = contaminated_docs(
+                inp,
+                spark.read.parquet(benchmark_path),
+                n=decontam_n,
+                min_hits=decontam_min_hits,
+                id_col=id_col,
+                text_col=text_col,
+            ).select(id_col)
+            return inp.join(flagged, id_col, "left_anti")
+        if stage == "repetition_gate":
+            # docs with no non-blank segment emit no stats row and pass
+            # the gate by the anti-join semantics
+            violators = (
+                repetition_stats(inp, id_col, text_col)
+                .filter(F.col("dup_line_ratio") > max_dup_line_ratio)
+                .select(id_col)
+            )
+            return inp.join(violators, id_col, "left_anti")
+        if stage == "neardup":
+            near = minhash_lsh_pairs(
+                inp, text_col, id_col,
+                n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
+            )
+            dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
+            return inp.join(dropped, id_col, "left_anti")
+        if stage == "chunk":
+            return chunk_documents(
+                inp, chunk_tokens, overlap, id_col, text_col
+            ).withColumn(
+                "chunk_id",
+                F.concat_ws(
+                    "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+                ),
+            )
+        if stage == "pack":
+            if "chunk_text" in inp.columns:
+                return pack_sequences(
+                    inp, bin_tokens, n_shards,
+                    id_col="chunk_id", text_col="chunk_text", seed=seed,
+                )
+            return pack_sequences(
+                inp, bin_tokens, n_shards, id_col=id_col, text_col=text_col,
+                seed=seed,
+            )
+        raise AssertionError(stage)
 
-    if "stage=neardup" not in done:
-        gated, obs_in = count_obs(spark.read.parquet(gated_path), "corpus_near_in")
-        near = minhash_lsh_pairs(
-            gated, text_col, id_col,
-            n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
-        )
-        dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
-        cleaned, obs_out = count_obs(
-            gated.join(dropped, id_col, "left_anti").select(
-                id_col, "quality", "lang_guess"
-            ),
-            "corpus_near_out",
-        )
+    cur_path: str | None = None
+    for stage in selected:
+        path = f"{out_base}/{_STAGE_DIRS[stage]}"
+        if f"stage={stage}" in done:
+            cur_path = path
+            continue
+        if not processed and {ops_marker, params_marker} - committed:
+            # first uncommitted stage of this call: pin the configuration
+            # before any stage data commits (markers carry no metrics)
+            commit_units(
+                spark, checkpoint_path, run_id,
+                {m: {} for m in (ops_marker, params_marker) if m not in committed},
+            )
+        inp = spark.read.parquet(cur_path) if cur_path else docs
+        inp, obs_in = count_obs(inp, f"corpus_{stage}_in")
+        out, obs_out = count_obs(transform(stage, inp), f"corpus_{stage}_out")
         _run_stage(
-            spark, "neardup", cleaned, obs_in, obs_out,
-            f"{out_base}/cleaned", checkpoint_path, run_id,
+            spark, stage, out, obs_in, obs_out, path, checkpoint_path, run_id
         )
-        processed.append("stage=neardup")
+        processed.append(f"stage={stage}")
+        cur_path = path
 
     return processed

@@ -245,6 +245,15 @@ def test_window_metrics_watermark_late_data(spark, tmp_path):
         "append"
     ).parquet(str(src))
 
+    # third micro-batch, AFTER the watermark reached +90 s: a kill row for
+    # W0 is now TOO LATE (event time 5 s < watermark) and must be dropped
+    # without re-opening the already-emitted W0; the second sentinel pushes
+    # the watermark past the first sentinel's window so it closes too
+    chunk3 = [
+        row("c4", 1, kill, 5),            # beyond-watermark: dropped
+        row("c9", 2, "tail sentinel 2", 240),
+    ]
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -260,24 +269,47 @@ def test_window_metrics_watermark_late_data(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
+
+        got = {
+            r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
+                                r["approx_convs"])
+            for r in spark.sql("SELECT * FROM window_metrics").collect()
+        }
+        # only W0 and W1 closed; the sentinel's window stays open, unemitted
+        assert set(got) == {T0, T0 + dt.timedelta(seconds=10)}, got
+        assert got[T0] == (3, 2, 1, 2), got  # late kill row merged into W0
+        assert got[T0 + dt.timedelta(seconds=10)] == (1, 1, 0, 1)
+
+        # closed windows equal the batch twin over the same non-sentinel rows
+        batch = spark.createDataFrame(chunk1 + chunk2[:1], TRANSCRIPT_SCHEMA)
+        want = {
+            r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
+                                r["approx_convs"])
+            for r in window_metrics_batch(batch, window="10 seconds").collect()
+        }
+        assert got == want
+
+        time.sleep(1.1)
+        spark.createDataFrame(chunk3, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
     finally:
         q.stop()
 
-    got = {
-        r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
-                            r["approx_convs"])
-        for r in spark.sql("SELECT * FROM window_metrics").collect()
+    rows = spark.sql("SELECT * FROM window_metrics").collect()
+    starts = [r["window_start"] for r in rows]
+    # exactly-once emission: no window ever re-emits, even after a
+    # beyond-watermark straggler targeted an already-closed window
+    assert len(starts) == len(set(starts)), starts
+    by_start = {
+        r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"])
+        for r in rows
     }
-    # only W0 and W1 closed; the sentinel's window stays open and unemitted
-    assert set(got) == {T0, T0 + dt.timedelta(seconds=10)}, got
-    assert got[T0] == (3, 2, 1, 2), got  # late kill row merged into W0
-    assert got[T0 + dt.timedelta(seconds=10)] == (1, 1, 0, 1)
-
-    # closed windows equal the batch twin over the same (non-sentinel) rows
-    batch = spark.createDataFrame(chunk1 + chunk2[:1], TRANSCRIPT_SCHEMA)
-    want = {
-        r["window_start"]: (r["n_turns"], r["n_kills"], r["n_unparsed"],
-                            r["approx_convs"])
-        for r in window_metrics_batch(batch, window="10 seconds").collect()
-    }
-    assert got == want
+    # W0 unchanged (the too-late kill was dropped, not merged)
+    assert by_start[T0] == (3, 2, 1)
+    # the first sentinel's window closed with only the sentinel in it —
+    # the dropped row surfaced in NO window
+    w12 = T0 + dt.timedelta(seconds=120)
+    assert by_start[w12] == (1, 0, 1)
+    assert set(by_start) == {T0, T0 + dt.timedelta(seconds=10), w12}

@@ -185,6 +185,60 @@ def test_lsh_signature_scales_to_real_embedding_dims(spark):
     assert {r["query_id"] for r in res} <= {0, 1, 2} and len(res) > 0
 
 
+def test_lsh_signature_partition_segregated_widths(spark):
+    """Mixed embedding widths segregated by PARTITION (two embedding
+    models in different files — the case a worker-local first-width lock
+    silently mishandles): per-width planes are derived deterministically
+    on every worker, same-width duplicate vectors still collide, and the
+    width-scoped join key means no near-dup pair ever crosses widths.  An
+    explicit dim still raises on a width it doesn't match."""
+    import numpy as np
+
+    from quake3_log_analyser_spark.operators.ann import (
+        embedding_near_dups,
+        lsh_signature,
+    )
+
+    rng = np.random.RandomState(11)
+    w8 = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    w16 = [(100 + i, rng.normal(size=16).tolist()) for i in range(40)]
+    # exact duplicates inside each width: must be found within-width
+    w8 += [(i + 1000, v) for i, v in w8[:3]]
+    w16 += [(i + 1000, v) for i, v in w16[:3]]
+    df = spark.createDataFrame(
+        w8, "vec_id int, embedding array<double>"
+    ).repartition(2).unionByName(
+        spark.createDataFrame(
+            w16, "vec_id int, embedding array<double>"
+        ).repartition(2)
+    )
+
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", lsh_signature(F.col("embedding"), 12).alias("sig")
+        ).collect()
+    }
+    for i, _ in w8[:3]:
+        assert sigs[i] == sigs[i + 1000]
+    for i, _ in w16[:3]:
+        assert sigs[i] == sigs[i + 1000]
+
+    pairs = embedding_near_dups(df, threshold=0.999, n_planes=12, bands=4)
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs.collect()}
+    for i, _ in w8[:3]:
+        assert (i, i + 1000) in got
+    for i, _ in w16[:3]:
+        assert (i, i + 1000) in got
+    ids8 = {i for i, _ in w8}
+    assert all(
+        (a in ids8) == (b in ids8) for a, b in got
+    ), "near-dup pair crossed embedding widths"
+
+    with pytest.raises(Exception, match="do not match the declared dim"):
+        df.select(lsh_signature(F.col("embedding"), 12, dim=8)).collect()
+
+
 def test_embedding_near_dups_on_injected(spark, emb):
     from quake3_log_analyser_spark.operators.ann import embedding_near_dups
 
@@ -541,27 +595,144 @@ def test_corpus_job_cli_resume_and_parity(spark, docs, tmp_path):
          "--run-id", "t1", "--resume", "--verbose", "--salts", "4"]
     )
     lib = sorted(clean_corpus(docs, salts=4).collect(), key=str)
-    assert sorted(spark.read.parquet(f"{out}/cleaned").collect(), key=str) == lib
+    # the staged pipeline keeps ``text`` flowing through every stage (so a
+    # chunk/pack suffix or downstream tokenizer still has content); the
+    # clean_corpus projection must match the library call exactly
+    cleaned = spark.read.parquet(f"{out}/cleaned")
+    assert set(cleaned.columns) == {"doc_id", "text", "quality", "lang_guess"}
+    assert (
+        sorted(cleaned.select("doc_id", "quality", "lang_guess").collect(), key=str)
+        == lib
+    )
 
     ck = spark.read.parquet(ckpt)
-    assert {r["unit"] for r in ck.collect()} == {
+    units = {r["unit"] for r in ck.collect()}
+    assert {u for u in units if u.startswith("stage=")} == {
         "stage=dedup", "stage=gate", "stage=neardup"
     }
+    # configuration markers pin the menu + tunables for resume safety
+    assert "ops=dedup,gate,neardup" in units
+    assert sum(u.startswith("params=") for u in units) == 1
     # lineage row sanity: the dedup stage saw every input doc
     dedup_row = ck.filter(F.col("unit") == "stage=dedup").collect()[0]
     assert dedup_row["n_input_rows"] == docs.count()
     assert 0 < dedup_row["n_matches"] < dedup_row["n_input_rows"]
 
     # idempotent restart: everything committed -> no-op
-    assert run_corpus_resumable(spark, docs, out, ckpt, run_id="t2") == []
+    assert run_corpus_resumable(spark, docs, out, ckpt, run_id="t2", salts=4) == []
+
+    # resuming under changed tunables must refuse, not silently mix
+    # old-parameter stage outputs into the new run
+    with pytest.raises(ValueError, match="params="):
+        run_corpus_resumable(spark, docs, out, ckpt, run_id="t2b", salts=2)
+    # ... and so must a changed stage menu
+    with pytest.raises(ValueError, match="ops="):
+        run_corpus_resumable(
+            spark, docs, out, ckpt, run_id="t2c",
+            ops=("dedup", "gate", "pii", "neardup"), salts=4,
+        )
 
     # partial resume: drop the neardup commit -> exactly it re-runs
     ckpt2 = str(tmp_path / "ckpt2")
     ck.filter(F.col("unit") != "stage=neardup").write.parquet(ckpt2)
-    assert run_corpus_resumable(spark, docs, out, ckpt2, run_id="t3") == [
-        "stage=neardup"
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt2, run_id="t3", salts=4
+    ) == ["stage=neardup"]
+    assert (
+        sorted(
+            spark.read.parquet(f"{out}/cleaned")
+            .select("doc_id", "quality", "lang_guess")
+            .collect(),
+            key=str,
+        )
+        == lib
+    )
+
+
+def test_corpus_job_full_menu(spark, tmp_path):
+    """The extended stage menu (pii + decontaminate + repetition_gate +
+    chunk + pack) runs end-to-end through the CLI with checkpoint/resume:
+    PII is redacted in the flowing text, benchmark-overlapping docs are
+    dropped, repetitive docs are gated, chunks have ids, and packed bins
+    respect the token budget.  A restart is a no-op."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import run_corpus
+
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    contaminated = (
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+    )
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                i,
+                f"doc {i} mail me at user{i}@example.com and read "
+                f"https://example.org/p{i} for the full body of document "
+                f"number {i} which continues with plenty of ordinary "
+                f"english filler words to stay above the quality gate",
+            )
+        )
+    rows.append((40, contaminated + " plus extra trailing context words"))
+    rows.append((41, "same line repeated\n" * 20))  # repetition_gate bait
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, contaminated)], "q_id long, text string"
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    menu = "dedup,gate,pii,decontaminate,repetition_gate,neardup,chunk,pack"
+    cli = [
+        "--input", docs_path, "--output", out, "--checkpoint", ckpt,
+        "--run-id", "full1", "--resume", "--ops", menu,
+        "--benchmark", bench_path, "--min-quality", "0.0",
+        "--langs", "en,und", "--decontam-n", "8",
+        "--max-dup-line-ratio", "0.5", "--chunk-tokens", "16",
+        "--overlap", "4", "--bin-tokens", "64", "--n-shards", "2",
     ]
-    assert sorted(spark.read.parquet(f"{out}/cleaned").collect(), key=str) == lib
+    run_corpus.main(cli)
+
+    redacted = spark.read.parquet(f"{out}/pii_redacted")
+    joined = " ".join(r["text"] for r in redacted.collect())
+    assert "@example.com" not in joined and "https://" not in joined
+    assert "[EMAIL]" in joined and "[URL]" in joined
+
+    kept_after_decontam = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/decontaminated").collect()
+    }
+    assert 40 not in kept_after_decontam and 0 in kept_after_decontam
+
+    kept_after_rep = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/repetition_gated").collect()
+    }
+    assert 41 not in kept_after_rep
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert {"doc_id", "chunk_idx", "n_tokens", "chunk_text", "chunk_id"} <= set(
+        chunks.columns
+    )
+    assert chunks.filter(F.col("n_tokens") > 16).count() == 0
+
+    packed = spark.read.parquet(f"{out}/packed").collect()
+    assert packed and all("#" in r["chunk_id"] for r in packed)
+    assert {r["shard"] for r in packed} <= {0, 1}
+
+    # restart over the committed checkpoint: no-op through the CLI path too
+    assert run_corpus_resumable(
+        spark, spark.read.parquet(docs_path), out, ckpt, run_id="full2",
+        ops=tuple(menu.split(",")), min_quality=0.0, langs=("en", "und"),
+        benchmark_path=bench_path, decontam_n=8, max_dup_line_ratio=0.5,
+        chunk_tokens=16, overlap=4, bin_tokens=64, n_shards=2,
+    ) == []
 
 
 def test_audio_real_decode_roundtrip_and_features():
@@ -773,11 +944,13 @@ def test_chunk_documents_windows_and_overlap(spark):
         ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
          for r in chunk_documents(d, chunk_tokens=4, overlap=1).collect())
     )
+    # no overlap-only tail: a start past k - overlap would emit a chunk
+    # wholly contained in the previous window ((1, 3, 1, 'w10') before
+    # the fix) — duplicated tokens as a standalone training sequence
     assert out == [
         (1, 0, 4, "w1 w2 w3 w4"),
         (1, 1, 4, "w4 w5 w6 w7"),
         (1, 2, 4, "w7 w8 w9 w10"),
-        (1, 3, 1, "w10"),
         (2, 0, 2, "a b"),
     ]
     with pytest.raises(ValueError):
