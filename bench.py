@@ -118,21 +118,11 @@ def main() -> None:
     # codegen/JIT, the second eats page-cache/JIT tail — then the MEDIAN of
     # three timed runs.  Median (not best) is robust to a single calm or
     # contended window, which is what broke round-over-round comparability
-    # in rounds 1-2.
+    # in rounds 1-2.  EVERY query rides an interleaved group (round-5): a
+    # query whose reps run consecutively can read +40-70% purely from
+    # landing in a contended session window.
     WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 2))
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
-
-    def bench(name: str, fn, warm: bool = True, reps: int = REPS):
-        for _ in range(WARMUPS if warm else 0):
-            fn()
-        times, result = [], None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            result = fn()
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        timings[name] = round(times[len(times) // 2], 3)
-        return result
 
     def bench_paired(group: dict, reps: int = REPS):
         """Interleaved paired measurement for plan VARIANTS of the same
@@ -205,20 +195,31 @@ def main() -> None:
             F.sum("total_kills").alias("kills"),
         ).collect()[0]
 
-    # the three plan variants of the SAME headline work are measured
-    # interleaved (A/B/C rounds, median per variant) — drift-robust
+    # single-pass multi-op vectorized summary (round-4: ONE scan + ONE
+    # shuffle for kills+means+scores; the old branch-join form re-ran the
+    # parse+window DAG per aggregate branch)
+    def run_pipeline_multiop():
+        return summarize_matches(
+            transcripts, ops={"kills", "means_of_death", "reported_scores"}
+        ).agg(F.count(F.lit(1))).collect()
+
+    # the plan variants of the SAME headline work are measured interleaved
+    # (A/B/C/D rounds, median per variant) — drift-robust; multiop rides
+    # the same group so the 3-op-vs-1-op overhead is a same-window read
     paired = bench_paired(
         {
             "pipeline_kills": run_pipeline,
             "pipeline_kills_bucketed": run_pipeline_bucketed,
             "pipeline_kills_skewed": run_pipeline_skewed,
+            "pipeline_multiop": run_pipeline_multiop,
         }
     )
     head = paired["pipeline_kills"]
     skew_hot_share = round(hot_factor * TURNS_PER_CONV / n_skew_turns, 3)
 
     # parser comparison (reference: split vs regex, 3200x — ours: JVM
-    # expressions vs Arrow pandas UDF)
+    # expressions vs Arrow pandas UDF).  Interleaved: the round-4 artifact
+    # showed +40% on parse_arrow purely from sequential in-session drift.
     def run_parse(parser):
         def _f():
             return (
@@ -228,47 +229,39 @@ def main() -> None:
             )
         return _f
 
-    bench("parse_arrow", run_parse("arrow"))
-    bench("parse_pandas", run_parse("pandas"))
-    bench("parse_expr", run_parse("expr"))
-
-    # extended exact fold (applyInPandas per conv)
-    bench(
-        "pipeline_extended",
-        lambda: summarize_matches(transcripts, ops=full_pipeline_ops())
-        .agg(F.count(F.lit(1))).collect(),
+    bench_paired(
+        {
+            "parse_arrow": run_parse("arrow"),
+            "parse_pandas": run_parse("pandas"),
+            "parse_expr": run_parse("expr"),
+        }
     )
 
-    # distributed JSON reports (exact fold + reference-format renderer,
-    # one grouped-map per conversation)
+    # the three grouped-map / fan-out pipelines ride one interleaved group:
+    # not plan variants of identical work, but pairing spreads each query's
+    # reps across the session window so a +47%/+71% artifact move (round-4
+    # pipeline_extended/route_sinks) is a real regression, not drift
     from quake3_log_analyser_spark.operators.translate import translate
     from quake3_log_analyser_spark.presentation import render_conv_reports
-
-    bench(
-        "json_report",
-        lambda: render_conv_reports(translate(parse_transcripts(transcripts)))
-        .agg(F.count(F.lit(1)), F.sum(F.length("report"))).collect(),
-    )
-
-    # fan-out routing (writes all five sinks)
     from quake3_log_analyser_spark.operators.route import write_sinks
 
     sink_dir = str(REPO / "data" / f"sinks_{sf_name}")
-    # warm=True: the first write on this VM can run 3x steady state; the
-    # timed number is the repeatable single-pass partitionBy(sink) write
-    bench(
-        "route_sinks",
-        lambda: write_sinks(sessionize(parse_transcripts(transcripts)), sink_dir),
-    )
-
-    # single-pass multi-op vectorized summary (round-4: ONE scan + ONE
-    # shuffle for kills+means+scores; the old branch-join form re-ran the
-    # parse+window DAG per aggregate branch)
-    bench(
-        "pipeline_multiop",
-        lambda: summarize_matches(
-            transcripts, ops={"kills", "means_of_death", "reported_scores"}
-        ).agg(F.count(F.lit(1))).collect(),
+    bench_paired(
+        {
+            # extended exact fold (applyInPandas per conv)
+            "pipeline_extended": lambda: summarize_matches(
+                transcripts, ops=full_pipeline_ops()
+            ).agg(F.count(F.lit(1))).collect(),
+            # distributed JSON reports (exact fold + reference-format
+            # renderer, one grouped-map per conversation)
+            "json_report": lambda: render_conv_reports(
+                translate(parse_transcripts(transcripts))
+            ).agg(F.count(F.lit(1)), F.sum(F.length("report"))).collect(),
+            # fan-out routing (writes all five sinks; disk-bound)
+            "route_sinks": lambda: write_sinks(
+                sessionize(parse_transcripts(transcripts)), sink_dir
+            ),
+        }
     )
 
     # hot-fingerprint dedup (viral-boilerplate skew): ONE text duplicated
@@ -307,10 +300,15 @@ def main() -> None:
         }
     )
 
-    # generic engine queries on the sf tables
+    # generic engine queries on the sf tables (one interleaved group:
+    # every query in the artifact is now either paired or fresh-JVM)
     qs = entrymod.queries()
-    for qname in ["tpch_q1", "top_customers", "event_gap_sessions"]:
-        bench(qname, lambda qn=qname: qs[qn](spark, SF_DIR).collect())
+    bench_paired(
+        {
+            qname: (lambda qn=qname: qs[qn](spark, SF_DIR).collect())
+            for qname in ["tpch_q1", "top_customers", "event_gap_sessions"]
+        }
+    )
 
     pipeline_sec = timings["pipeline_kills"]
     best_sec = min(pipeline_sec, timings.get("pipeline_kills_bucketed", pipeline_sec))
