@@ -991,6 +991,44 @@ FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def _q_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact near-dup survivorship (operators.dedup.
+    neardup_survivors_cc): connected components of the verified MinHash-
+    LSH pair graph via distributed min-label propagation + pointer
+    jumping, keep each cluster's minimum id.  The DuckDB twin recomputes
+    the identical pair graph and resolves components with a recursive CTE
+    (min reachable label), so the iterative Spark algorithm is checked
+    against a closed-form fixpoint, not just row counts."""
+    from quake3_log_analyser_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_survivors_cc,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.6)
+    return neardup_survivors_cc(pairs)
+
+
+def _cc_survivors_oracle_sql() -> str:
+    mh = _minhash_oracle_sql(n_hashes=16, bands=8, threshold=0.6)
+    return f"""
+WITH RECURSIVE pairs AS ({mh}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, l) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v)
+SELECT v AS doc_id, component AS kept_doc_id FROM comp WHERE v <> component
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 6 (7 derived bands -> recall 1.0
     by pigeonhole; md5 token hash -> DuckDB-recomputable signatures)."""
@@ -1574,6 +1612,7 @@ _EXTRA_QUERIES = {
     "ann_cosine": _q_ann_cosine,
     "ann_topk": _q_ann_topk,
     "minhash_lsh": _q_minhash_lsh,
+    "cc_survivors": _q_cc_survivors,
     "simhash_pairs": _q_simhash_pairs,
     "quality_scores": _q_quality_scores,
     "lang_guess": _q_lang_guess,
@@ -1601,6 +1640,7 @@ _EXTRA_ORACLES = {
     "ann_cosine": _ORACLE_ANN,
     "ann_topk": _ORACLE_ANN_TOPK,
     "minhash_lsh": _minhash_oracle_sql(),
+    "cc_survivors": _cc_survivors_oracle_sql(),
     "simhash_pairs": _ORACLE_SIMHASH,
     "quality_scores": _ORACLE_QUALITY,
     "lang_guess": _ORACLE_LANG_GUESS,

@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--threshold", type=float, default=0.6)
+    ap.add_argument("--survivorship", choices=("greedy", "cc"), default="greedy",
+                    help="near-dup drop rule: greedy keep-min per pair, or "
+                         "cluster-exact connected components")
     ap.add_argument("--decontam-n", type=int, default=8,
                     help="word n-gram size for decontamination")
     ap.add_argument("--decontam-min-hits", type=int, default=1)
@@ -86,6 +89,7 @@ def main(argv: list[str] | None = None) -> None:
         langs=tuple(args.langs.split(",")),
         n=args.shingle_n, n_hashes=args.n_hashes,
         bands=args.bands, threshold=args.threshold,
+        survivorship=args.survivorship,
         benchmark_path=args.benchmark,
         decontam_n=args.decontam_n,
         decontam_min_hits=args.decontam_min_hits,

@@ -4,11 +4,15 @@ All JVM-side expressions (no Python in the hot path): token counting,
 character-class ratios, stopword-based quality scoring, n-gram shingling,
 language-ID heuristics and document fingerprinting over a ``text`` column
 (e.g. the ``documents`` table).  Each has a DuckDB-expressible twin used by
-the oracle gate.
+the oracle gate.  The one exception is ``vocab_token_count`` — the
+pluggable real-tokenizer hook — which is an Arrow-batched pandas UDF by
+necessity (greedy vocab segmentation is not expressible as a JVM column
+function) and is opt-in, never on the default path.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,6 +51,63 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
     punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
     return (word_tokens + punct).cast("long")
+
+
+def vocab_token_count(text: Column, vocab, unk_is_char: bool = True) -> Column:
+    """Token count under a REAL tokenizer vocabulary: greedy
+    longest-prefix-match segmentation (the WordPiece decode rule) of each
+    whitespace word against ``vocab``; unmatched text consumes one token
+    per character (``unk_is_char=True``, byte-fallback-style) or one per
+    residual run.
+
+    This is the pluggable hook that lets packing/chunking budgets reflect
+    an actual tokenizer instead of the ``bpe_ish_token_count`` proxy:
+    pass the model's merge/piece table as ``vocab``.  Arrow-batched
+    pandas UDF — the vocab rides the task closure once and is cached by
+    executor-side Python worker reuse (for a 100k-piece production vocab,
+    materialize it with ``spark.sparkContext.broadcast`` and pass
+    ``bcast.value`` here so it ships once per executor, not per task).
+    NULL text counts 0.
+    """
+    pieces = frozenset(vocab)
+    if not pieces:
+        raise ValueError("vocab_token_count needs a non-empty vocab")
+    max_len = max(len(p) for p in pieces)
+
+    def _count_word(word: str) -> int:
+        i, n, c = 0, len(word), 0
+        while i < n:
+            for ln in range(min(max_len, n - i), 0, -1):
+                if word[i : i + ln] in pieces:
+                    c += 1
+                    i += ln
+                    break
+            else:
+                c += 1
+                i += 1 if unk_is_char else _unk_run(word, i)
+        return c
+
+    def _unk_run(word: str, i: int) -> int:
+        j = i
+        n = len(word)
+        while j < n and not any(
+            word[j : j + ln] in pieces for ln in range(1, min(max_len, n - j) + 1)
+        ):
+            j += 1
+        return max(j - i, 1)
+
+    @F.pandas_udf("long")
+    def _vocab_count(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sum(_count_word(w) for w in t.split()) if t else 0
+                for t in texts.fillna("")
+            ],
+            dtype="int64",
+            index=texts.index,
+        )
+
+    return _vocab_count(text)
 
 
 def punct_ratio(text: Column) -> Column:

@@ -92,17 +92,22 @@ def clean_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     salts: int = 1,
+    survivorship: str = "greedy",
 ) -> DataFrame:
     """Raw documents -> the cleaned corpus ``(doc_id, quality, lang_guess)``.
 
     ``quality`` is rounded to 4 dp BEFORE the threshold comparison so the
     gate decision cannot flip on a cross-engine double ulp (the same
-    discipline the standalone quality query uses).  The near-dup drop rule
-    is greedy keep-min: any document appearing as the larger side of a
-    verified pair is removed.  Chains over-drop slightly (b dropped for a,
-    c dropped for b) — the standard trade for a single-pass, join-only
-    rule; transitive-closure survivorship needs an iterative connected-
-    components pass, deliberately out of scope here.
+    discipline the standalone quality query uses).  The default near-dup
+    drop rule is greedy keep-min: any document appearing as the larger
+    side of a verified pair is removed — single-pass, join-only,
+    reproducible in plain SQL, but it treats each pair independently
+    (chains drop transitively without being declared one cluster, and a
+    star keeps rim docs whose ids sort below the hub).
+    ``survivorship="cc"`` instead clusters the verified-pair graph with
+    an iterative connected-components pass (``dedup.
+    neardup_survivors_cc``) and keeps each cluster's minimum id —
+    cluster-exact, the usual large-corpus production semantics.
 
     ``salts > 1`` routes the exact-dedup survivor join-back through the
     explicit salted join (operators.skew) — the crawl-corpus reality of a
@@ -110,8 +115,10 @@ def clean_corpus(
     all rows; measured default-vs-salted in bench.py (``dedup_hot``).
     """
     from ..functions.text import lang_guess, quality_score
-    from .dedup import dedup_survivors, minhash_lsh_pairs
+    from .dedup import dedup_survivors, minhash_lsh_pairs, neardup_survivors_cc
 
+    if survivorship not in ("greedy", "cc"):
+        raise ValueError(f"survivorship must be 'greedy' or 'cc', got {survivorship!r}")
     removed = dedup_survivors(docs, text_col, id_col, salts=salts).select(
         F.col("doc_id").alias(id_col)
     )
@@ -128,7 +135,12 @@ def clean_corpus(
         gated, text_col, id_col, n=n, n_hashes=n_hashes, bands=bands,
         threshold=threshold,
     )
-    dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
+    if survivorship == "cc":
+        dropped = neardup_survivors_cc(near).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
     return gated.join(dropped, id_col, "left_anti").select(
         id_col, "quality", "lang_guess"
     )

@@ -232,6 +232,106 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """``(node, component)`` for every node of the pair graph, where
+    ``component`` is the minimum node id reachable from it.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) pushes every node's current label across its edges and keeps the
+    per-node minimum (one hash join + one hash aggregation, both
+    partitioned by node — no driver-side graph), then (2) path-halves by
+    replacing each label with ITS label.  The jump step is what makes a
+    length-L chain converge in O(log L) rounds instead of O(L) — the
+    bound that matters when a viral template chains millions of docs.
+    Per-round ``localCheckpoint`` cuts the lineage so the plan does not
+    grow with rounds (on a cluster use ``spark.sparkContext.
+    setCheckpointDir`` + ``checkpoint`` for executor-loss tolerance).
+    Convergence is detected with a changed-label count (one action per
+    round on the already-materialized frames); exceeding ``max_rounds``
+    raises rather than returning half-merged components.
+
+    The alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") has the same
+    round complexity with lower per-round skew on power-law graphs;
+    this min-label + jump form is preferred here for its DuckDB twin
+    (a recursive CTE computes the identical min-reachable label).
+    """
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = sym.unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # self-loops make each node's OWN label participate in the per-round
+    # min, so the loop body is a single join + aggregation with no union
+    # (a union of a checkpointed frame with a derived one trips Catalyst's
+    # Union constraint rewriting on complex upstreams)
+    edges = (
+        sym.unionByName(
+            sym.select(F.col("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new_labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path halving): component <- component's
+        # component; labels are node ids, so self-join on the label
+        jumped = new_labels.alias("l1").join(
+            new_labels.alias("l2").select(
+                F.col("node").alias("_jn"), F.col("component").alias("_jc")
+            ),
+            F.col("l1.component") == F.col("_jn"),
+            "left",
+        ).select(
+            F.col("l1.node").alias("node"),
+            F.coalesce(F.col("_jc"), F.col("l1.component")).alias("component"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "pathological graph diameter; raise max_rounds"
+    )
+
+
+def neardup_survivors_cc(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Cluster-exact near-dup survivorship: ``(doc_id, kept_doc_id)`` for
+    every REMOVED document, where clusters are the connected components
+    of the verified-pair graph and the survivor is each cluster's minimum
+    id — the standard production semantics (one representative per
+    duplicate cluster), vs the greedy keep-min rule that drops every
+    ``doc_b`` of a pair: greedy keeps both endpoints of a star's outer
+    rim only when their ids happen to sort below the hub, and over-drops
+    chains transitively without ever declaring them one cluster."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("kept_doc_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (Arrow pandas UDF, numpy bit-fold).
 

@@ -76,8 +76,15 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
+    token_counter=None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training bin.
+
+    ``token_counter`` plugs in the budget's token measure: a callable
+    ``Column -> Column`` (e.g. ``lambda c: functions.text.
+    vocab_token_count(c, vocab)`` for a real tokenizer vocabulary, or
+    ``bpe_ish_token_count``); ``None`` keeps the default whitespace
+    count, which is what the DuckDB oracle twin mirrors.
 
     Scalable deterministic packing: documents are hash-assigned to
     ``n_shards`` independent shards (at 10^12 rows the shard count bounds
@@ -91,9 +98,14 @@ def pack_sequences(
     bin_seq)``; ``(shard, bin_seq)`` is the global bin key.
     """
     h = _hash_hex(id_col, seed)
+    count = (
+        token_counter(F.col(text_col))
+        if token_counter is not None
+        else F.size(ws_tokens(F.col(text_col)))
+    )
     base = docs.select(
         F.col(id_col),
-        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        count.cast("long").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_shards))
         .cast("int")
         .alias("shard"),

@@ -147,6 +147,7 @@ def run_corpus_resumable(
     n_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.6,
+    survivorship: str = "greedy",
     benchmark_path: str | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
@@ -173,8 +174,17 @@ def run_corpus_resumable(
     """
     from ..functions.text import lang_guess, quality_score, redact_pii
     from ..operators.corpus import contaminated_docs, repetition_stats
-    from ..operators.dedup import dedup_survivors, minhash_lsh_pairs
+    from ..operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        neardup_survivors_cc,
+    )
     from ..operators.pack import chunk_documents, pack_sequences
+
+    if survivorship not in ("greedy", "cc"):
+        raise ValueError(
+            f"survivorship must be 'greedy' or 'cc', got {survivorship!r}"
+        )
 
     selected = tuple(s for s in STAGES if s in ops)
     unknown = set(ops) - set(STAGES)
@@ -194,6 +204,7 @@ def run_corpus_resumable(
             "n_hashes": n_hashes,
             "bands": bands,
             "threshold": threshold,
+            "survivorship": survivorship,
             "benchmark_path": benchmark_path,
             "decontam_n": decontam_n,
             "decontam_min_hits": decontam_min_hits,
@@ -262,7 +273,14 @@ def run_corpus_resumable(
                 inp, text_col, id_col,
                 n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
             )
-            dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
+            if survivorship == "cc":
+                # iterative connected components: runs its propagation
+                # rounds EAGERLY (bounded jobs) at plan-build time
+                dropped = neardup_survivors_cc(near).select(
+                    F.col("doc_id").alias(id_col)
+                )
+            else:
+                dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
             return inp.join(dropped, id_col, "left_anti")
         if stage == "chunk":
             return chunk_documents(

@@ -185,6 +185,79 @@ def test_lsh_signature_scales_to_real_embedding_dims(spark):
     assert {r["query_id"] for r in res} <= {0, 1, 2} and len(res) > 0
 
 
+def test_connected_components_shapes_and_log_convergence(spark):
+    """Min-label propagation + pointer jumping: chain, star and isolated
+    pair resolve to cluster-min labels, and a 200-node path converges
+    within 15 rounds — pure propagation would need ~199, so this pins the
+    O(log diameter) jump step actually working."""
+    from quake3_log_analyser_spark.operators.dedup import (
+        connected_components,
+        neardup_survivors_cc,
+    )
+
+    pairs = [(10, 11), (11, 12), (12, 13),  # chain
+             (1, 3), (2, 3),                # star: 2 near 3, not near 1
+             (20, 21)]                      # isolated pair
+    pairs += [(200 + i, 201 + i) for i in range(199)]  # long path
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_rounds=15).collect()
+    }
+    assert {comp[v] for v in (10, 11, 12, 13)} == {10}
+    assert {comp[v] for v in (1, 2, 3)} == {1}
+    assert {comp[v] for v in (20, 21)} == {20}
+    assert {comp[200 + i] for i in range(200)} == {200}
+
+    dropped = {
+        r["doc_id"]: r["kept_doc_id"]
+        for r in neardup_survivors_cc(df).collect()
+    }
+    # cluster-exact: 2 is dropped for 1 even though the only verified pair
+    # is (2,3) — the star is ONE cluster (greedy keep-min would keep 2)
+    assert dropped[2] == 1 and dropped[3] == 1
+    assert 1 not in dropped and 10 not in dropped and 20 not in dropped
+    assert dropped[13] == 10 and dropped[21] == 20
+
+
+def test_clean_corpus_cc_survivorship(spark, docs):
+    """survivorship='cc' keeps exactly one doc per near-dup cluster: its
+    drop set contains the greedy rule's (every doc_b is a non-min member
+    of its component) and the kept set has one survivor per component."""
+    from quake3_log_analyser_spark.operators.corpus import clean_corpus
+    from quake3_log_analyser_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    kw = dict(min_quality=0.0, langs=("en", "es", "de", "fr", "und"),
+              n=1, n_hashes=16, bands=8, threshold=0.6)
+    greedy = {r["doc_id"] for r in clean_corpus(docs, **kw).collect()}
+    cc = {r["doc_id"] for r in clean_corpus(docs, survivorship="cc", **kw).collect()}
+    assert cc <= greedy
+
+    # reconstruct the pair graph over the gated set the same way
+    # clean_corpus does and check one-survivor-per-component
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
+
+    removed = dedup_survivors(docs).select("doc_id")
+    gated = docs.join(removed, "doc_id", "left_anti")
+    pairs = minhash_lsh_pairs(gated, n=1, n_hashes=16, bands=8, threshold=0.6)
+    comp = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    by_comp = {}
+    for v, c in comp.items():
+        by_comp.setdefault(c, set()).add(v)
+    for c, members in by_comp.items():
+        assert min(members) == c
+        assert members & cc == {c}, (c, sorted(members & cc))
+
+    with pytest.raises(ValueError, match="survivorship"):
+        clean_corpus(docs, survivorship="transitive", **kw)
+
+
 def test_lsh_signature_partition_segregated_widths(spark):
     """Mixed embedding widths segregated by PARTITION (two embedding
     models in different files — the case a worker-local first-width lock
@@ -955,6 +1028,48 @@ def test_chunk_documents_windows_and_overlap(spark):
     ]
     with pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_vocab_token_count_and_pluggable_packing(spark):
+    """Greedy longest-prefix-match counting against a toy vocabulary, and
+    the pack_sequences token_counter hook: budgets reflect the plugged
+    tokenizer instead of the whitespace proxy."""
+    from quake3_log_analyser_spark.functions.text import vocab_token_count
+    from quake3_log_analyser_spark.operators.pack import pack_sequences
+
+    vocab = ["aa", "b", "bb", "hello"]
+    d = spark.createDataFrame(
+        [(1, "aaab bb"), (2, "hello helloaa"), (3, None), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", vocab_token_count(F.col("text"), vocab).alias("n")
+        ).collect()
+    }
+    # 'aaab' -> aa|a(unk)|b = 3, 'bb' -> 1; 'hello' -> 1, 'helloaa' -> 2;
+    # NULL -> 0; 'xyz' -> 3 unk chars
+    assert got == {1: 4, 2: 3, 3: 0, 4: 3}
+
+    # unk_is_char=False: one token per unmatched RUN
+    run = d.filter(F.col("doc_id") == 4).select(
+        vocab_token_count(F.col("text"), vocab, unk_is_char=False).alias("n")
+    ).collect()[0]["n"]
+    assert run == 1
+
+    with pytest.raises(ValueError, match="non-empty vocab"):
+        vocab_token_count(F.col("text"), [])
+
+    packed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(
+            d.filter(F.col("text").isNotNull()),
+            bin_tokens=4,
+            token_counter=lambda c: vocab_token_count(c, vocab),
+        ).collect()
+    }
+    assert packed == {1: 4, 2: 3, 4: 3}
 
 
 def test_pack_sequences_budget_and_determinism(spark, docs):
