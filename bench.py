@@ -63,11 +63,17 @@ def ensure_transcripts(
 
 def ensure_bucketed(spark, tpath: str, n_buckets: int = 32) -> str:
     """Bucketed + sorted twin of the bench table: the sessionize window
-    reads it with NO shuffle and NO sort (SURVEY.md §4 scale lever)."""
+    reads it with NO shuffle and NO sort (SURVEY.md §4 scale lever).
+
+    Location and table name carry ``n_buckets`` so differently-bucketed
+    twins of the same table never register a DDL whose bucket count
+    contradicts the files (the previous bare ``_bucketed`` suffix let a
+    64-bucket caller claim a 32-bucket directory)."""
     from quake3_log_analyser_spark.schemas import TRANSCRIPT_SCHEMA
 
-    loc = tpath + "_bucketed"
-    tbl = "bench_transcripts_bucketed"
+    suffix = f"_bucketed{n_buckets}"
+    loc = tpath + suffix
+    tbl = f"bench_transcripts{suffix}"
     ddl_cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in TRANSCRIPT_SCHEMA)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not (Path(loc) / "_SUCCESS").exists():

@@ -2,12 +2,16 @@
 on a given transcripts parquet.  Prints one JSON line.
 
 Usage: python scripts/scaling_worker.py <cpus> <transcripts_path> [reps] [mode]
+         [n_buckets] [max_partition_mb]
 
 mode:
   adhoc     (default) plain parquet scan -> parse -> shuffle+sort window
   bucketed  conv_id-bucketed (conv_id, turn_idx)-sorted table ->
             session-first raw window with NO shuffle and NO sort — the
             plan a 10^12-turn Iceberg deployment would run
+
+n_buckets (bucketed mode, default 64) and max_partition_mb (default 64)
+parameterize the round-5 closing matrix on the 4->16 pair.
 """
 
 from __future__ import annotations
@@ -26,6 +30,8 @@ def main():
     tpath = sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     mode = sys.argv[4] if len(sys.argv) > 4 else "adhoc"
+    n_buckets = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    max_partition_mb = int(sys.argv[6]) if len(sys.argv) > 6 else 64
 
     from pyspark.sql import functions as F
 
@@ -39,12 +45,16 @@ def main():
     # core counts without per-task overhead dominating
     spark = get_spark(
         "scaling", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(
+                max_partition_mb * 1024 * 1024
+            )
+        },
     )
     if mode == "bucketed":
         import bench
 
-        tbl = bench.ensure_bucketed(spark, tpath, n_buckets=64)
+        tbl = bench.ensure_bucketed(spark, tpath, n_buckets=n_buckets)
         t = spark.table(tbl)
     else:
         t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tpath)
