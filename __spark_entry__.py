@@ -1647,8 +1647,57 @@ FROM norm n LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-quantized embeddings (queries = vec_id<10).
+    Unlike ★ann_topk (which must rank on a 6-dp ROUNDED score because
+    float dot products drift by ulps across engines), the quantized score
+    is BIT-reproducible — round-half-away-from-zero quantization verified
+    identical in Spark and DuckDB, integer dot products exact in both
+    (magnitudes ~1e6 << 2^53), sqrt/division correctly rounded IEEE ops —
+    so both engines rank on the exact score and MUST produce the same k
+    set; the oracle is a direct test of that exactness claim.  The score
+    is rounded to 6 dp only for display."""
+    from quake3_log_analyser_spark.operators.ann import quantized_cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("qcosine", 6).alias("qcosine"), "rnk"
+    )
+
+
+# DuckDB twin of quantize_int8 + quantized_cosine_topk: same per-vector
+# symmetric scale (max|x|/127), same round-half-away-from-zero, same
+# integer dot products (list_dot_product over BIGINT lists is exact for
+# |q| <= 127, dim 64 — magnitudes ~1e6, far below 2^53).
+_ORACLE_QUANTIZED_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax,
+         CASE WHEN amax > 0
+              THEN list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM e
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+cs AS (SELECT vec_id AS neighbor_id, q AS cq FROM qz),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qq, cq)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq)))
+           AS qc_exact
+  FROM qs, cs WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(qc_exact, 6) AS qcosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY qc_exact DESC, neighbor_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 10
+"""
+
+
 _EXTRA_QUERIES = {
     "lm_scores": _q_lm_scores,
+    "quantized_topk": _q_quantized_topk,
     "pii_redaction": _q_pii_redaction,
     "chunk_documents": _q_chunk_documents,
     "pack_sequences": _q_pack_sequences,
@@ -1678,6 +1727,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "lm_scores": _ORACLE_LM_SCORES,
+    "quantized_topk": _ORACLE_QUANTIZED_TOPK,
     "pii_redaction": _ORACLE_PII,
     "chunk_documents": _ORACLE_CHUNKS,
     "pack_sequences": _ORACLE_PACK,

@@ -61,6 +61,35 @@ def ensure_transcripts(
     return path
 
 
+def ensure_ann_tables(spark, n_vec: int = 400_000, dim: int = 64) -> tuple[str, str]:
+    """Generate (once) a float32 embedding corpus and its int8-quantized
+    twin.  Deterministic JVM-side synthesis (sin over the row id — no
+    driver RNG), so every round benches identical bytes.  The int8 table
+    is what a 100 TB ANN corpus would materialize: ~4× smaller on disk,
+    so the brute-force scan is bandwidth-, not compute-, relieved."""
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.operators.ann import quantize_int8
+
+    fpath = str(REPO / "data" / f"ann_f32_{n_vec}x{dim}")
+    qpath = str(REPO / "data" / f"ann_i8_{n_vec}x{dim}")
+    if not (Path(qpath) / "_SUCCESS").exists():
+        vecs = spark.range(n_vec, numPartitions=CPUS * 2).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(
+                    F.col("id").cast("double") * i.cast("double") * 0.6180339887
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        vecs.write.mode("overwrite").parquet(fpath)
+        quantize_int8(spark.read.parquet(fpath)).select(
+            "vec_id", "q_embedding", "q_scale"
+        ).write.mode("overwrite").parquet(qpath)
+    return fpath, qpath
+
+
 def ensure_bucketed(spark, tpath: str, n_buckets: int = 32) -> str:
     """Bucketed + sorted twin of the bench table: the sessionize window
     reads it with NO shuffle and NO sort (SURVEY.md §4 scale lever).
@@ -303,6 +332,34 @@ def main() -> None:
         {
             "dedup_hot": lambda: dedup_survivors(hot_docs).count(),
             "dedup_hot_noskewaqe": dedup_hot_aqe_off,
+        }
+    )
+
+    # float32 vs int8 brute-force ANN (bandwidth path): identical top-k
+    # work over the same 400k x 64 vectors, one table materialized as
+    # float arrays, the twin pre-quantized to int8 at "ingest" — the
+    # variant pair isolates the scan-bandwidth + integer-math effect the
+    # 100 TB posture claims (quantize-once, query-many).
+    from quake3_log_analyser_spark.operators.ann import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    fpath, qpath = ensure_ann_tables(spark)
+    fvec = spark.read.parquet(fpath)
+    qvec = spark.read.parquet(qpath)
+    fq = fvec.filter(F.col("vec_id") < 16)
+    qq = qvec.filter(F.col("vec_id") < 16)
+    bench_paired(
+        {
+            "ann_brute_f32": lambda: cosine_topk(fvec, fq, k=10)
+            .agg(F.count(F.lit(1)))
+            .collect(),
+            "ann_brute_i8": lambda: quantized_cosine_topk(
+                qvec, qq, k=10, pre_quantized=True
+            )
+            .agg(F.count(F.lit(1)))
+            .collect(),
         }
     )
 

@@ -6,11 +6,13 @@
         --output <output base path> \
         --checkpoint <checkpoint table path> \
         --run-id corpus-2024-06-01 [--resume] [--verbose] \
-        [--ops dedup,gate,pii,decontaminate,repetition_gate,neardup,chunk,pack] \
+        [--ops dedup,gate,lm_gate,pii,decontaminate,repetition_gate,neardup,chunk,pack] \
         [--benchmark <eval-set parquet path>] \
-        [--min-quality 0.45] [--langs en] [--salts 8]
+        [--min-quality 0.45] [--langs en] [--salts 8] \
+        [--lm-min-avg-logp -7.0] [--lm-ref <reference-corpus parquet path>]
 
-Runs the selected corpus stages (exact dedup, quality/language gate, PII
+Runs the selected corpus stages (exact dedup, quality/language gate,
+trigram-LM perplexity gate, PII
 redaction, benchmark decontamination, repetition gating, MinHash-LSH
 near-dup removal, chunking, sequence packing — the full op menu of
 plans/corpus_run.py, mirroring the reference CLI's operation menu,
@@ -47,6 +49,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet path (required by decontaminate)")
     ap.add_argument("--min-quality", type=float, default=0.45)
+    ap.add_argument("--lm-min-avg-logp", type=float, default=-7.0,
+                    help="lm_gate threshold: min mean per-trigram ln-prob")
+    ap.add_argument("--lm-ref", default=None,
+                    help="parquet of reference docs to train the lm_gate "
+                         "model on (default: the stage input itself)")
     ap.add_argument("--langs", default="en",
                     help="comma-separated allowed language guesses")
     ap.add_argument("--shingle-n", type=int, default=1)
@@ -87,6 +94,8 @@ def main(argv: list[str] | None = None) -> None:
         ops=tuple(s for s in args.ops.split(",") if s),
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")),
+        lm_min_avg_logp=args.lm_min_avg_logp,
+        lm_ref_path=args.lm_ref,
         n=args.shingle_n, n_hashes=args.n_hashes,
         bands=args.bands, threshold=args.threshold,
         survivorship=args.survivorship,

@@ -12,6 +12,10 @@ operation menu (app/src/main.rs:86-97) and the match pipeline's ``--ops``:
 
   dedup           exact-duplicate removal            -> ``{out}/deduped``
   gate            quality + language filter          -> ``{out}/gated``
+  lm_gate         CCNet-style trigram-LM perplexity
+                  filter (model trained on
+                  ``lm_ref_path`` or, when None, on
+                  the stage input itself)            -> ``{out}/lm_gated``
   pii             email/URL/IPv4 redaction in text   -> ``{out}/pii_redacted``
   decontaminate   drop docs sharing n-grams with a
                   benchmark/eval set                 -> ``{out}/decontaminated``
@@ -66,6 +70,7 @@ from .checkpoint import commit_unit, commit_units, committed_units
 STAGES = (
     "dedup",
     "gate",
+    "lm_gate",
     "pii",
     "decontaminate",
     "repetition_gate",
@@ -78,6 +83,7 @@ DEFAULT_OPS = ("dedup", "gate", "neardup")
 _STAGE_DIRS = {
     "dedup": "deduped",
     "gate": "gated",
+    "lm_gate": "lm_gated",
     "pii": "pii_redacted",
     "decontaminate": "decontaminated",
     "repetition_gate": "repetition_gated",
@@ -143,6 +149,8 @@ def run_corpus_resumable(
     ops: tuple[str, ...] = DEFAULT_OPS,
     min_quality: float = 0.45,
     langs: tuple[str, ...] = ("en",),
+    lm_min_avg_logp: float = -7.0,
+    lm_ref_path: str | None = None,
     n: int = 1,
     n_hashes: int = 16,
     bands: int = 8,
@@ -174,6 +182,7 @@ def run_corpus_resumable(
     """
     from ..functions.text import lang_guess, quality_score, redact_pii
     from ..operators.corpus import contaminated_docs, repetition_stats
+    from ..operators.lm import lm_gate, train_char_lm
     from ..operators.dedup import (
         dedup_survivors,
         minhash_lsh_pairs,
@@ -200,6 +209,8 @@ def run_corpus_resumable(
         {
             "min_quality": min_quality,
             "langs": tuple(langs),
+            "lm_min_avg_logp": lm_min_avg_logp,
+            "lm_ref_path": lm_ref_path,
             "n": n,
             "n_hashes": n_hashes,
             "bands": bands,
@@ -246,6 +257,20 @@ def run_corpus_resumable(
             ).filter(
                 (F.col("quality") >= min_quality)
                 & F.col("lang_guess").isin(list(langs))
+            )
+        if stage == "lm_gate":
+            # model trained on the reference corpus when given, else on
+            # the stage input itself (self-training still separates
+            # gibberish from the corpus's own bulk statistics); either
+            # way the model is tiny and broadcast by lm_gate.  Docs with
+            # < 3 normalized chars have no trigrams and are dropped —
+            # nothing to attest fluency (documented in operators/lm.py).
+            ref = (
+                spark.read.parquet(lm_ref_path) if lm_ref_path else inp
+            )
+            model = train_char_lm(ref, text_col=text_col)
+            return lm_gate(
+                inp, model, lm_min_avg_logp, id_col=id_col, text_col=text_col
             )
         if stage == "pii":
             return inp.withColumn(text_col, redact_pii(F.col(text_col)))

@@ -91,3 +91,55 @@ def test_lm_scores_exact_under_repartition(spark):
     ma = sorted(map(tuple, train_char_lm(base).collect()))
     mb = sorted(map(tuple, train_char_lm(base.repartition(7)).collect()))
     assert ma == mb
+
+
+def test_lm_gate_stage_in_corpus_job(spark, tmp_path):
+    """The production corpus job runs lm_gate as a checkpointed stage:
+    gibberish dropped, fluent kept, resume is a no-op, and an external
+    reference corpus can supply the model."""
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    fluent = "the cat sat on the mat and the dog sat on the log"
+    docs = _docs(
+        spark,
+        [(i, fluent + f" extra tail {i}") for i in range(6)]
+        + [(99, "qzx wvj pqk fzz bnm qqj")],
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    done = run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="lm1", ops=("lm_gate",),
+        lm_min_avg_logp=-8.0,
+    )
+    assert done == ["stage=lm_gate"]
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/lm_gated").collect()}
+    assert 99 not in kept and set(range(6)) <= kept
+
+    # resume: everything committed, nothing re-runs
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="lm2", ops=("lm_gate",),
+        lm_min_avg_logp=-8.0,
+    ) == []
+
+    # a changed threshold must refuse to resume (params marker)
+    import pytest
+
+    with pytest.raises(ValueError, match="params"):
+        run_corpus_resumable(
+            spark, docs, out, ckpt, run_id="lm3", ops=("lm_gate",),
+            lm_min_avg_logp=-5.0,
+        )
+
+    # external reference corpus drives the model: train on a fluent-only
+    # reference (replicated so fluent trigram counts beat the smoothing
+    # floor: cand scores computed by hand = -7.34 fluent / -9.70
+    # gibberish), same gate decision
+    ref_path = str(tmp_path / "ref")
+    _docs(spark, [(i, fluent) for i in range(10)]).write.parquet(ref_path)
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    run_corpus_resumable(
+        spark, docs, out2, ckpt2, run_id="lm4", ops=("lm_gate",),
+        lm_min_avg_logp=-8.0, lm_ref_path=ref_path,
+    )
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/lm_gated").collect()}
+    assert 99 not in kept2 and set(range(6)) <= kept2

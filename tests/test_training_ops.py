@@ -1121,3 +1121,91 @@ def test_pii_redaction_patterns(spark):
     assert rows[1]["red"] == "mail [EMAIL] and see [URL] from [IP]"
     assert (rows[2]["e"], rows[2]["u"], rows[2]["i"]) == (0, 0, 0)
     assert rows[2]["red"] == rows[2]["text"], "pii-free text must be unchanged"
+
+
+def test_quantize_int8_values_and_edge_cases(spark):
+    from quake3_log_analyser_spark.operators.ann import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0]),        # all-zero: scale 0, q all zeros (no NaN)
+            (3, None),              # NULL vector stays NULL
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # amax=1 -> scale=1/127; round half AWAY from zero: -63.5 -> -64
+    assert out[1]["q_embedding"] == [127, -64, 32, 0]
+    assert abs(out[1]["q_scale"] - 1.0 / 127.0) < 1e-12
+    assert out[2]["q_embedding"] == [0, 0] and out[2]["q_scale"] == 0.0
+    assert out[3]["q_embedding"] is None and out[3]["q_scale"] is None
+    # stored as real int8 (tinyint), not int - the 4x compression claim
+    assert dict(out[1].asDict())  # materialized fine
+    qfield = [f for f in quantize_int8(df).schema if f.name == "q_embedding"][0]
+    assert qfield.dataType.simpleString() == "array<tinyint>"
+
+
+def test_quantized_cosine_error_and_recall(spark, emb):
+    """Quantized cosine tracks exact cosine within the int8 rounding grain
+    and preserves top-k neighbor sets almost perfectly on real vectors."""
+    from quake3_log_analyser_spark.operators.ann import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    quant = quantized_cosine_topk(emb, queries, k=10).collect()
+
+    escore = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    qscore = {(r["query_id"], r["neighbor_id"]): r["qcosine"] for r in quant}
+    common = set(escore) & set(qscore)
+    assert common, "no overlapping pairs to compare"
+    worst = max(abs(escore[p] - qscore[p]) for p in common)
+    assert worst < 0.02, f"quantization error {worst} above int8 grain bound"
+
+    # recall@10 vs the exact baseline
+    from collections import defaultdict
+
+    eset, qset = defaultdict(set), defaultdict(set)
+    for r in exact:
+        eset[r["query_id"]].add(r["neighbor_id"])
+    for r in quant:
+        qset[r["query_id"]].add(r["neighbor_id"])
+    recall = sum(len(eset[q] & qset[q]) for q in eset) / sum(
+        len(eset[q]) for q in eset
+    )
+    assert recall >= 0.9, f"recall@10 {recall} too low"
+
+
+def test_quantized_scores_exact_under_repartition(spark, emb):
+    """The bit-reproducibility claim: integer dots + IEEE sqrt/div give the
+    SAME doubles no matter the partitioning (no float-sum order drift)."""
+    from quake3_log_analyser_spark.operators.ann import quantized_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = quantized_cosine_topk(emb, queries, k=5).collect()
+    b = quantized_cosine_topk(emb.repartition(7), queries, k=5).collect()
+    ka = {(r["query_id"], r["neighbor_id"]): r["qcosine"] for r in a}
+    kb = {(r["query_id"], r["neighbor_id"]): r["qcosine"] for r in b}
+    assert ka == kb  # exact ==, not approx
+
+
+def test_quantized_prequantized_parity(spark, emb):
+    """quantize-once-at-ingest (pre_quantized=True over materialized int8
+    columns) returns exactly the on-the-fly result — same quantization,
+    same exact integer dots."""
+    from quake3_log_analyser_spark.operators.ann import (
+        quantize_int8,
+        quantized_cosine_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    inline = quantized_cosine_topk(emb, queries, k=5).collect()
+    pq_corpus = quantize_int8(emb)
+    pq_queries = quantize_int8(queries)
+    pre = quantized_cosine_topk(
+        pq_corpus, pq_queries, k=5, pre_quantized=True
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
