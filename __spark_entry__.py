@@ -1695,9 +1695,140 @@ FROM scored QUALIFY rnk <= 10
 """
 
 
+def _q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (operators.dedup.dedup_against): odd-id
+    docs are the "new batch", even-id docs the accumulated training set;
+    keep new docs whose normalized fingerprint the reference lacks.
+    Parity split works at every scale factor."""
+    from quake3_log_analyser_spark.operators.dedup import dedup_against
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, ref).select("doc_id", "source")
+
+
+_ORACLE_DEDUP_CROSS = r"""
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+  SELECT 1 FROM documents r
+  WHERE r.doc_id % 2 = 0
+    AND md5(trim(regexp_replace(lower(r.text), '\s+', ' ', 'g')))
+      = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+)
+"""
+
+
+def _q_neardup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dups (operators.dedup.
+    neardup_against): (new doc, reference doc, jaccard) for odd-id docs
+    near-duplicating even-id docs.  Both corpora banded with the same
+    seeds; the DuckDB twin reproduces signatures, buckets, candidates and
+    the exact-Jaccard verify."""
+    from quake3_log_analyser_spark.operators.dedup import neardup_against
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    pairs = neardup_against(new, ref, n=1, n_hashes=16, bands=8, threshold=0.6)
+    return pairs.select(
+        "doc_id", "ref_doc_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _neardup_cross_oracle_sql(
+    n_hashes: int = 16, bands: int = 8, threshold: float = 0.6
+) -> str:
+    """Cross-corpus twin of ``_minhash_oracle_sql``: banding is per-row,
+    so banding the whole table and splitting by id parity in the
+    candidate join equals banding each half separately."""
+    rows = n_hashes // bands
+    sig_exprs = ",\n    ".join(
+        "list_min(list_transform(grams, g -> "
+        f"('0x' || substr(md5('seed{i}:' || g), 1, 15))::BIGINT)) AS s{i}"
+        for i in range(n_hashes)
+    )
+    band_cases = "\n      ".join(
+        f"WHEN {b} THEN "
+        + " || ',' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM toks
+),
+banded AS (
+  SELECT doc_id, band,
+    CASE band
+      {band_cases}
+    END AS bucket
+  FROM sig, (SELECT unnest(range({bands})) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+verified AS (
+  SELECT c.doc_id, c.ref_doc_id,
+    len(list_intersect(ta.grams, tb.grams))::DOUBLE /
+    (len(ta.grams) + len(tb.grams) - len(list_intersect(ta.grams, tb.grams))) AS jaccard
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_id
+  JOIN toks tb ON tb.doc_id = c.ref_doc_id
+)
+SELECT doc_id, ref_doc_id, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+_MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIXTURE_DEFAULT = 0.1
+_MIXTURE_SEED = 7
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture rates (operators.corpus.
+    mixture_sample): src0 kept fully, src1 at 50%, src2 at 25%, src3
+    dropped, every other source at the 10% default — membership a pure
+    function of (seed, doc_id), broadcast rate table, no window."""
+    from quake3_log_analyser_spark.operators.corpus import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, _MIXTURE_WEIGHTS, seed=_MIXTURE_SEED, default_rate=_MIXTURE_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _mixture_oracle_sql() -> str:
+    values = ", ".join(
+        f"('{src}', '{format(int(rate * 16**8), '09x')}')"
+        for src, rate in _MIXTURE_WEIGHTS.items()
+    )
+    default_hex = format(int(_MIXTURE_DEFAULT * 16**8), "09x")
+    return f"""
+SELECT d.doc_id, d.source
+FROM documents d
+LEFT JOIN (VALUES {values}) AS r(source, rate_hex) ON d.source = r.source
+WHERE '0' || substr(md5('{_MIXTURE_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < COALESCE(r.rate_hex, '{default_hex}')
+"""
+
+
 _EXTRA_QUERIES = {
     "lm_scores": _q_lm_scores,
     "quantized_topk": _q_quantized_topk,
+    "dedup_cross": _q_dedup_cross,
+    "neardup_cross": _q_neardup_cross,
+    "mixture_sample": _q_mixture_sample,
     "pii_redaction": _q_pii_redaction,
     "chunk_documents": _q_chunk_documents,
     "pack_sequences": _q_pack_sequences,
@@ -1728,6 +1859,9 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "lm_scores": _ORACLE_LM_SCORES,
     "quantized_topk": _ORACLE_QUANTIZED_TOPK,
+    "dedup_cross": _ORACLE_DEDUP_CROSS,
+    "neardup_cross": _neardup_cross_oracle_sql(),
+    "mixture_sample": _mixture_oracle_sql(),
     "pii_redaction": _ORACLE_PII,
     "chunk_documents": _ORACLE_CHUNKS,
     "pack_sequences": _ORACLE_PACK,

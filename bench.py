@@ -65,8 +65,10 @@ def ensure_ann_tables(spark, n_vec: int = 400_000, dim: int = 64) -> tuple[str, 
     """Generate (once) a float32 embedding corpus and its int8-quantized
     twin.  Deterministic JVM-side synthesis (sin over the row id — no
     driver RNG), so every round benches identical bytes.  The int8 table
-    is what a 100 TB ANN corpus would materialize: ~4× smaller on disk,
-    so the brute-force scan is bandwidth-, not compute-, relieved."""
+    is what a 100 TB ANN corpus would materialize: 3.5× smaller on disk
+    (measured: 101 MB vs 29 MB at 400k×64) — the saving is bytes stored
+    /scanned/shuffled; local warm-cache compute ties (see the paired
+    group below)."""
     from pyspark.sql import functions as F
 
     from quake3_log_analyser_spark.operators.ann import quantize_int8
@@ -335,21 +337,27 @@ def main() -> None:
         }
     )
 
-    # float32 vs int8 brute-force ANN (bandwidth path): identical top-k
-    # work over the same 400k x 64 vectors, one table materialized as
-    # float arrays, the twin pre-quantized to int8 at "ingest" — the
-    # variant pair isolates the scan-bandwidth + integer-math effect the
-    # 100 TB posture claims (quantize-once, query-many).
+    # float32 vs int8 brute-force ANN: identical top-k work over the same
+    # 1.6M x 64 vectors, one table materialized as float arrays (~400 MB
+    # parquet), the twin pre-quantized to int8 at "ingest" (~115 MB —
+    # 3.5x smaller, the measured storage/wire claim).  MEASURED RESULT on
+    # this box: the pair TIES (~3.8 vs ~4.0 s at 2 queries; 9.1 vs 9.4 s
+    # at 16 queries over 400k) — both tables sit in page cache, so
+    # array-decode + dot-product compute dominates and the byte saving
+    # is invisible locally.  The int8 win is the 3.5x fewer bytes
+    # scanned/shuffled, which pays on cold object-storage reads and
+    # cross-node shuffles, NOT local arithmetic — kept paired in the
+    # artifact so the claim stays honest round over round.
     from quake3_log_analyser_spark.operators.ann import (
         cosine_topk,
         quantized_cosine_topk,
     )
 
-    fpath, qpath = ensure_ann_tables(spark)
+    fpath, qpath = ensure_ann_tables(spark, n_vec=1_600_000)
     fvec = spark.read.parquet(fpath)
     qvec = spark.read.parquet(qpath)
-    fq = fvec.filter(F.col("vec_id") < 16)
-    qq = qvec.filter(F.col("vec_id") < 16)
+    fq = fvec.filter(F.col("vec_id") < 2)
+    qq = qvec.filter(F.col("vec_id") < 2)
     bench_paired(
         {
             "ann_brute_f32": lambda: cosine_topk(fvec, fq, k=10)

@@ -17,11 +17,11 @@
                          on a compact int cell id — the classic
                          billion-vector layout (one cell = one partition /
                          file cluster at 100 TB scale).
-* ``quantize_int8`` /  — bandwidth path: symmetric per-vector int8
-  ``quantized_cosine_topk``  quantization (4× smaller on disk and on the
-                         wire); cosine is scale-invariant so the scale
-                         cancels, and the integer dot products make the
-                         scores exactly reproducible across engines.
+* ``quantize_int8`` /  — footprint path: symmetric per-vector int8
+  ``quantized_cosine_topk``  quantization (3.5× smaller parquet, measured);
+                         cosine is scale-invariant so the scale cancels,
+                         and the integer dot products make the scores
+                         exactly reproducible across engines.
 """
 
 from __future__ import annotations
@@ -517,8 +517,8 @@ def quantize_int8(
     (max|x| / 127))`` stored as ``array<tinyint>`` plus the scale.
 
     100 TB posture: embeddings dominate the storage and shuffle volume of
-    an ANN corpus — ``array<float>`` at dim 768 is ~3 KB/row; int8 is 4×
-    smaller on the wire and in parquet, which is the difference between a
+    an ANN corpus — ``array<float>`` at dim 768 is ~3 KB/row; int8 is 3.5-4×
+    smaller on the wire and in parquet (measured 3.5× on the bench corpus), which is the difference between a
     rerank join that spills and one that doesn't.  Cosine similarity is
     scale-invariant, so the per-vector scale CANCELS in quantized cosine —
     direction survives quantization up to the ~1/127 rounding grain (the
@@ -562,8 +562,8 @@ def quantized_cosine_topk(
 
     ``pre_quantized=True`` is the production shape: both frames already
     carry ``q_embedding`` from a one-time ``quantize_int8`` at ingest
-    (materialized int8 parquet is ~4× smaller, so the corpus scan is
-    bandwidth-relieved); False quantizes on the fly for ad-hoc use.
+    (materialized int8 parquet is 3.5× smaller — fewer bytes stored,
+    scanned and shuffled; local warm-cache compute ties, per bench.py); False quantizes on the fly for ad-hoc use.
     """
     qz_q = queries if pre_quantized else quantize_int8(queries, vec_col=vec_col)
     qz_c = corpus if pre_quantized else quantize_int8(corpus, vec_col=vec_col)

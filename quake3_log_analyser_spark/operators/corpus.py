@@ -58,6 +58,55 @@ def hash_sample(
     return df.filter(_hash_hex(key_col, seed) < F.lit(threshold))
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source sampling rates — the training-mixture primitive
+    ("CommonCrawl at 30%, books at 100%, forums at 10%").  Keep a row iff
+    its deterministic hash draw falls below ITS SOURCE's rate.
+
+    Same membership guarantees as ``hash_sample`` (pure function of
+    (seed, key): stable across runs/partitionings/resumes), generalized
+    to a per-stratum rate.  The rate table is a broadcast join — sources
+    number in the dozens, never corpus-scale.  Sources absent from
+    ``weights`` get ``default_rate`` (0.0 = drop unlisted sources, the
+    explicit-manifest posture; 1.0 = pass-through).
+
+    Unlike ``stratified_cap`` (absolute per-stratum row budgets via a
+    window) this is RATE-based and window-free: one broadcast hash join,
+    one filter, full codegen — the shape that holds at 10^12 rows where
+    a per-source window would serialize each source through one task
+    chain.
+    """
+    for src, rate in weights.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {src!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    spark = df.sparkSession
+    # 9-char thresholds with the hash draw zero-padded to match: rate 1.0
+    # yields "100000000", which an 8-char threshold could not express
+    # (hash_sample sidesteps this with an early return; a per-source rate
+    # table cannot) — equal-length lowercase hex keeps the string order
+    # isomorphic to the numeric order in Spark and DuckDB alike
+    rates = spark.createDataFrame(
+        [(src, format(int(rate * 16**8), "09x")) for src, rate in weights.items()],
+        f"{source_col} string, _rate_hex string",
+    )
+    default_hex = format(int(default_rate * 16**8), "09x")
+    draw = F.concat(F.lit("0"), _hash_hex(key_col, seed))
+    return (
+        df.join(F.broadcast(rates), source_col, "left")
+        .filter(draw < F.coalesce("_rate_hex", F.lit(default_hex)))
+        .drop("_rate_hex")
+    )
+
+
 def stratified_cap(
     df: DataFrame,
     strata_col: str,

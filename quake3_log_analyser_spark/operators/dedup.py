@@ -154,6 +154,46 @@ def jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def _banded_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """``(doc_id, grams, band, bucket)`` — one row per document per band.
+    Shared by the within-corpus (``minhash_lsh_pairs``) and cross-corpus
+    (``neardup_against``) paths so both sides of a cross join are banded
+    with the SAME seeds and the same slice-string bucket keys."""
+    rows = n_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    sig = shingled.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
+    return sig.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "grams", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,32 +219,7 @@ def minhash_lsh_pairs(
     ever dominates (the only effect is extra candidates that the exact
     verify removes).
     """
-    rows = n_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
-    sig = shingled.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
-    banded = sig.select(
-        "doc_id",
-        "grams",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "grams", "bb.band", "bb.bucket")
+    banded = _banded_minhash(df, text_col, id_col, n, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -224,6 +239,79 @@ def minhash_lsh_pairs(
     verified = cands.select(
         "doc_a",
         "doc_b",
+        (
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b"))
+        ).alias("jaccard"),
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus EXACT dedup: drop rows of ``new_docs`` whose
+    normalized content already exists anywhere in ``reference`` — the
+    "don't re-train on what the last crawl already contributed" primitive
+    (incremental corpus builds dedup each new batch against the
+    accumulated training set, not just within itself).
+
+    Returns ``new_docs``'s rows (original columns) that are NOT in the
+    reference.  Shuffle-by-fingerprint anti-join; the reference side is
+    reduced to DISTINCT fingerprints first, so a reference with heavy
+    internal duplication still joins one row per distinct content.  Both
+    sides can be corpus-sized — nothing is broadcast or collected.
+    """
+    seen = reference.select(
+        fingerprint_md5(F.col(ref_text_col or text_col)).alias("_fp")
+    ).distinct()
+    keyed = new_docs.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    return keyed.join(seen, "_fp", "left_anti").drop("_fp")
+
+
+def neardup_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup detection: ``(doc_id, ref_doc_id, jaccard)``
+    for every ``new_docs`` row whose n-gram Jaccard against some
+    ``reference`` row clears ``threshold``.  Anti-join the distinct
+    ``doc_id``s against ``new_docs`` to drop them.
+
+    Same banded-MinHash strategy as ``minhash_lsh_pairs`` — both corpora
+    are signed with the SAME seeds, candidates are generated only inside
+    shared band buckets (no all-pairs across corpora), and the exact
+    Jaccard verify removes false candidates.  The join key is
+    (band, bucket), hash-partitioned; neither side is broadcast.
+    """
+    a = _banded_minhash(new_docs, text_col, id_col, n, n_hashes, bands).alias("a")
+    b = _banded_minhash(reference, text_col, id_col, n, n_hashes, bands).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("ref_doc_id"),
+            F.col("a.grams").alias("grams_a"),
+            F.col("b.grams").alias("grams_b"),
+        )
+        .dropDuplicates(["doc_id", "ref_doc_id"])
+    )
+    verified = cands.select(
+        "doc_id",
+        "ref_doc_id",
         (
             F.size(F.array_intersect("grams_a", "grams_b"))
             / F.size(F.array_union("grams_a", "grams_b"))

@@ -1209,3 +1209,78 @@ def test_quantized_prequantized_parity(spark, emb):
         pq_corpus, pq_queries, k=5, pre_quantized=True
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
+
+
+def test_dedup_against_drops_already_seen_content(spark):
+    from quake3_log_analyser_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(0, "the shared document body"), (1, "reference only text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "  THE  shared   Document body "),  # normalized dup of 0
+            (11, "genuinely new content"),
+            (12, "reference only text"),             # verbatim dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_against(new, ref).collect()}
+    assert kept == {11}
+    # columns pass through untouched, no fingerprint residue
+    assert set(dedup_against(new, ref).columns) == {"doc_id", "text"}
+
+
+def test_neardup_against_finds_cross_corpus_neighbors(spark):
+    from quake3_log_analyser_spark.operators.dedup import neardup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(0, base), (1, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " lambda"), (11, "unrelated fresh material nothing shared")],
+        "doc_id long, text string",
+    )
+    pairs = neardup_against(new, ref, n=1, n_hashes=16, bands=8, threshold=0.5)
+    got = {(r["doc_id"], r["ref_doc_id"]): r["jaccard"] for r in pairs.collect()}
+    assert (10, 0) in got and got[(10, 0)] > 0.9
+    assert all(d != 11 for d, _ in got)
+    # directionality: only (new, ref) pairs, never ref-internal ones
+    assert all(d >= 10 and rd < 10 for d, rd in got)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from quake3_log_analyser_spark.operators.corpus import mixture_sample
+
+    import pytest
+
+    rows = [(i, f"doc {i}", ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"a": 1.0, "b": 0.5, "c": 0.0}
+    out = mixture_sample(df, weights, seed=3, default_rate=0.25)
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    by_src = {}
+    for _, s in got:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src.get("a") == 100          # rate 1.0 keeps EVERY row
+    assert by_src.get("c") is None          # rate 0.0 drops the source
+    assert 25 <= by_src.get("b", 0) <= 75   # ~50% of 100
+    assert 10 <= by_src.get("d", 0) <= 45   # default 25% of 100
+    # pure function of (seed, key): identical under rerun and repartition
+    again = [
+        (r["doc_id"], r["source"])
+        for r in mixture_sample(
+            df.repartition(11), weights, seed=3, default_rate=0.25
+        ).collect()
+    ]
+    assert sorted(got) == sorted(again)
+    # a different seed draws a different (but valid) b-subset
+    other = mixture_sample(df, weights, seed=4, default_rate=0.25).collect()
+    assert sorted(got) != sorted(
+        [(r["doc_id"], r["source"]) for r in other]
+    )
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, {"a": 1.5})
