@@ -11,8 +11,11 @@
 Runs parse -> sessionize -> route (five sinks) -> summaries with
 per-partition lineage/metrics committed to the checkpoint table; with
 ``--resume`` only uncommitted units are processed (idempotent restart).
-On a cluster the session builder comes from spark-submit's conf, so the
-local[] master in session.py is bypassed via SparkSession.getActiveSession.
+Under spark-submit the session factory detects the submitted
+``spark.master`` and builds on it (session.py::_submitted_master), so the
+SAME entrypoint runs local[N] smoke tests and N/4N-executor clusters —
+``scripts/submit_scaling.py`` drives exactly this path at two cluster
+sizes for the scaling-efficiency evidence.
 """
 
 from __future__ import annotations
@@ -61,6 +64,9 @@ def main() -> None:
     spark = SparkSession.getActiveSession() or get_spark("transcript-pipeline")
     transcripts = load_transcripts(spark, args.input)
     ops = frozenset(args.ops.split(","))
+    # work time, JVM/session startup excluded — submit_scaling.py parses
+    # the elapsed_s line to compute cross-cluster-size throughput
+    t_work0 = time.perf_counter()
 
     if args.resume:
         units = run_resumable(
@@ -107,6 +113,11 @@ def main() -> None:
         if obs is not None:
             for kind, n in sorted(issue_counts(obs).items()):
                 print(f"log_issues {kind}: {n}")
+    print(
+        f"elapsed_s={time.perf_counter() - t_work0:.3f} "
+        f"master={spark.sparkContext.master} "
+        f"parallelism={spark.sparkContext.defaultParallelism}"
+    )
 
 
 if __name__ == "__main__":

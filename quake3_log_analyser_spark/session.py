@@ -19,18 +19,55 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _submitted_master() -> str | None:
+    """Master set by ``spark-submit --master``.  ``None`` when launched
+    as a plain Python process.
+
+    Under spark-submit, PythonRunner starts the JVM first and hands the
+    user's Python a live py4j gateway via ``PYSPARK_GATEWAY_PORT``; the
+    submitted conf lives in that JVM's system properties (NOT in a fresh
+    Python-side ``SparkConf()``, which is empty until the gateway is
+    attached).  Plain Python has no gateway env, and probing must not
+    launch a JVM just to discover there is no submitted master."""
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    from pyspark.core.context import SparkContext
+
+    SparkContext._ensure_initialized()  # attaches, does not launch
+    jvm = SparkContext._jvm
+    if jvm is None:  # pragma: no cover - connect/remote-only mode
+        return None
+    return jvm.System.getProperty("spark.master")
+
+
 def get_spark(
     app_name: str = "quake3_log_analyser_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Honor spark-submit's --master: a job launched via
+    # ``spark-submit --py-files pipeline.zip jobs/run_pipeline.py`` must
+    # run at the cluster size the operator chose, not a hard-coded
+    # local[N].  Only when no master was submitted (library / pytest /
+    # bench use) does the local[cpus] default apply.  An explicit
+    # ``cpus=`` argument still wins — callers like bench.py and the
+    # scaling workers pin their parallelism deliberately.
+    submitted = _submitted_master() if cpus is None else None
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
+    if shuffle_partitions is None:
+        if submitted is not None:
+            import re
+
+            m = re.fullmatch(r"local\[(\d+)\]", submitted)
+            # local[K] -> K; anything else (yarn, k8s, local[*]) leaves
+            # shuffle sizing to the submitted conf / AQE coalescing
+            shuffle_partitions = int(m.group(1)) if m else None
+        else:
+            shuffle_partitions = cpus
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(submitted or f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -85,6 +122,10 @@ def get_spark(
             ),
         )
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

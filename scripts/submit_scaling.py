@@ -1,0 +1,155 @@
+"""Two-cluster-size scaling evidence through the REAL launch path.
+
+The north rule requires the job "run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors) with
+throughput scaling efficiency >= 0.8 between them".  This sandbox has no
+real cluster, so the two cluster sizes are simulated as two parallelism
+levels — but everything else is the production launch, not a library
+call:
+
+  1. ``zip -r pipeline.zip quake3_log_analyser_spark/`` (built fresh here)
+  2. ``spark-submit --master local[N]  --py-files pipeline.zip
+     jobs/run_pipeline.py --input ... --output ... --checkpoint ...``
+  3. same again at ``local[4N]``
+
+Each measurement is a FRESH JVM (drift-robust by construction — no
+in-session cache/JIT state leaks between points), rounds alternate
+N / 4N so slow-drift on the box hits both sides equally, and the
+throughput uses the job's own ``elapsed_s=`` line (work time, JVM and
+session startup excluded — on a real cluster startup is amortized over
+hours of input, so folding a fixed ~15 s JVM boot into a ~30 s
+measurement window would measure the sandbox, not the pipeline).
+
+Usage:
+    python scripts/submit_scaling.py [N] [rounds] [input_parquet]
+
+Defaults: N=8 (so 4N=32), rounds=3, input=data/transcripts_sf0.1_2500x600.
+Prints one JSON line and (with --record) appends it to
+BENCH/submit_scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+from pathlib import Path
+from statistics import median
+
+REPO = Path(__file__).resolve().parents[1]
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def build_zip(tmp: Path) -> Path:
+    """The --py-files artifact: the package tree, sources only."""
+    zpath = tmp / "pipeline.zip"
+    pkg = REPO / "quake3_log_analyser_spark"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted(pkg.rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+    return zpath
+
+
+def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
+            tag: str) -> float:
+    """One fresh-JVM spark-submit; returns the job's internal elapsed_s."""
+    out = tmp / f"out_{tag}"
+    ck = tmp / f"ck_{tag}"
+    for p in (out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cpus}]",
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", "spark.sql.files.maxPartitionBytes=67108864",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "run_pipeline.py"),
+        "--input", str(input_path),
+        "--output", str(out),
+        "--checkpoint", str(ck),
+        "--ops", "kills",
+        "--run-id", f"submit-{tag}",
+    ]
+    r = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
+        raise SystemExit(f"spark-submit local[{cpus}] failed")
+    m = re.search(r"elapsed_s=([0-9.]+)", r.stdout)
+    if not m:
+        sys.stderr.write(r.stdout[-2000:] + "\n")
+        raise SystemExit("no elapsed_s line in job output")
+    mm = re.search(r"master=(\S+)", r.stdout)
+    assert mm and mm.group(1) == f"local[{cpus}]", (
+        f"job ran on {mm and mm.group(1)}, wanted local[{cpus}] — "
+        "the submitted master was not honored"
+    )
+    return float(m.group(1))
+
+
+def count_rows(input_path: Path) -> int:
+    import pyarrow.dataset as ds
+
+    return ds.dataset(str(input_path), format="parquet").count_rows()
+
+
+def main() -> None:
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if len(pos) > 0 else 8
+    rounds = int(pos[1]) if len(pos) > 1 else 3
+    input_path = Path(
+        pos[2] if len(pos) > 2
+        else REPO / "data" / "transcripts_sf0.1_2500x600"
+    )
+    n4 = 4 * n
+    n_turns = count_rows(input_path)
+
+    tmp = Path(tempfile.mkdtemp(prefix="submit_scaling_"))
+    try:
+        zip_path = build_zip(tmp)
+        # warm-up pair: first-ever runs pay one-time filesystem/page-cache
+        # costs on the input; discard one point per side
+        one_run(n, zip_path, input_path, tmp, f"warm{n}")
+        one_run(n4, zip_path, input_path, tmp, f"warm{n4}")
+        lo, hi = [], []
+        for r in range(rounds):
+            lo.append(one_run(n, zip_path, input_path, tmp, f"r{r}c{n}"))
+            hi.append(one_run(n4, zip_path, input_path, tmp, f"r{r}c{n4}"))
+            print(
+                f"round {r}: local[{n}] {lo[-1]:.2f}s  "
+                f"local[{n4}] {hi[-1]:.2f}s",
+                file=sys.stderr,
+            )
+        t_lo, t_hi = median(lo), median(hi)
+        thr_lo, thr_hi = n_turns / t_lo, n_turns / t_hi
+        eff = thr_hi / (4.0 * thr_lo)
+        result = {
+            "harness": "spark-submit --py-files pipeline.zip jobs/run_pipeline.py",
+            "input": str(input_path),
+            "n_turns": n_turns,
+            "cluster_sizes": [n, n4],
+            "elapsed_s": {str(n): lo, str(n4): hi},
+            "median_s": {str(n): round(t_lo, 3), str(n4): round(t_hi, 3)},
+            "turns_per_sec": {str(n): round(thr_lo), str(n4): round(thr_hi)},
+            "scaling_efficiency": round(eff, 3),
+            "protocol": (
+                f"fresh JVM per point, interleaved {n}/{n4}, "
+                f"1 warm-up pair + median of {rounds}"
+            ),
+        }
+        line = json.dumps(result)
+        print(line)
+        if "--record" in sys.argv:
+            rec = REPO / "BENCH" / "submit_scaling.json"
+            rec.write_text(line + "\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
