@@ -1823,7 +1823,106 @@ WHERE '0' || substr(md5('{_MIXTURE_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (operators.dedup.
+    duplicated_spans): maximal token spans whose every 5-gram window
+    occurs in >= 2 distinct documents — the distributed analogue of
+    suffix-array substring dedup (Lee et al. 2022)."""
+    from quake3_log_analyser_spark.operators.dedup import duplicated_spans
+
+    docs = _table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=5, min_docs=2)
+
+
+_ORACLE_DUP_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(s AS INT) AS pos,
+    ('0x' || substr(md5(array_to_string(list_slice(t, s, s + 4), ' ')),
+                    1, 15))::BIGINT AS gram_h
+  FROM tok, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(s)
+),
+dup AS (
+  SELECT gram_h FROM win GROUP BY gram_h
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+fl AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram_h)),
+m AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_span
+  FROM fl
+),
+sp AS (
+  SELECT doc_id, pos, SUM(new_span) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m
+)
+SELECT doc_id,
+  CAST(MIN(pos) AS INT) AS start_tok,
+  CAST(MAX(pos) + 5 AS INT) AS end_tok,
+  CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id
+"""
+
+
+_CLS_BUCKETS = 64
+_CLS_BIAS = 0.5
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier (operators.corpus.
+    classifier_score): fastText-style quality scoring with a synthetic
+    64-bucket weight table (weight = (bucket % 7 - 3) * 0.1), bias 0.5 —
+    broadcast weight join, one hash-agg per doc."""
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.operators.corpus import classifier_score
+
+    docs = _table(spark, sf_dir, "documents")
+    weights = spark.range(_CLS_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") % 7 - 3) * 0.1).alias("weight"),
+    )
+    return classifier_score(
+        docs, weights, n_buckets=_CLS_BUCKETS, n=1, bias=_CLS_BIAS
+    )
+
+
+_ORACLE_CLASSIFIER = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(x), 1, 15))::BIGINT % {_CLS_BUCKETS} AS bucket
+  FROM tok, UNNEST(t) AS u(x)
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+    SUM((bucket % 7 - 3) * CAST(0.1 AS DOUBLE)) AS wsum
+  FROM g GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+  round(1.0 / (1.0 + exp(-({_CLS_BIAS} + COALESCE(s.wsum / s.n_grams, 0)))),
+        6) AS score
+FROM tok t LEFT JOIN s USING (doc_id)
+"""
+
+
 _EXTRA_QUERIES = {
+    "duplicated_spans": _q_duplicated_spans,
+    "classifier_score": _q_classifier_score,
     "lm_scores": _q_lm_scores,
     "quantized_topk": _q_quantized_topk,
     "dedup_cross": _q_dedup_cross,
@@ -1857,6 +1956,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "duplicated_spans": _ORACLE_DUP_SPANS,
+    "classifier_score": _ORACLE_CLASSIFIER,
     "lm_scores": _ORACLE_LM_SCORES,
     "quantized_topk": _ORACLE_QUANTIZED_TOPK,
     "dedup_cross": _ORACLE_DEDUP_CROSS,

@@ -6,7 +6,8 @@
         --output <output base path> \
         --checkpoint <checkpoint table path> \
         --run-id corpus-2024-06-01 [--resume] [--verbose] \
-        [--ops dedup,gate,lm_gate,pii,decontaminate,repetition_gate,neardup,chunk,pack] \
+        [--ops dedup,span_dedup,gate,lm_gate,classifier_gate,pii,\
+               decontaminate,repetition_gate,neardup,chunk,pack] \
         [--benchmark <eval-set parquet path>] \
         [--min-quality 0.45] [--langs en] [--salts 8] \
         [--lm-min-avg-logp -7.0] [--lm-ref <reference-corpus parquet path>]
@@ -44,7 +45,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--ops", default="dedup,gate,neardup",
                     help="comma-separated stage menu (canonical order "
-                         "enforced): dedup,gate,pii,decontaminate,"
+                         "enforced): dedup,span_dedup,gate,lm_gate,"
+                         "classifier_gate,pii,decontaminate,"
                          "repetition_gate,neardup,chunk,pack")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet path (required by decontaminate)")
@@ -54,6 +56,17 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--lm-ref", default=None,
                     help="parquet of reference docs to train the lm_gate "
                          "model on (default: the stage input itself)")
+    ap.add_argument("--span-n", type=int, default=8,
+                    help="span_dedup: word n-gram window size (detection "
+                         "floor for repeated substrings)")
+    ap.add_argument("--span-min-docs", type=int, default=2,
+                    help="span_dedup: min distinct docs sharing a window")
+    ap.add_argument("--classifier-weights", default=None,
+                    help="(bucket, weight) parquet for classifier_gate")
+    ap.add_argument("--classifier-min-score", type=float, default=0.5)
+    ap.add_argument("--classifier-buckets", type=int, default=1 << 18)
+    ap.add_argument("--classifier-ngram", type=int, default=1)
+    ap.add_argument("--classifier-bias", type=float, default=0.0)
     ap.add_argument("--langs", default="en",
                     help="comma-separated allowed language guesses")
     ap.add_argument("--shingle-n", type=int, default=1)
@@ -96,6 +109,13 @@ def main(argv: list[str] | None = None) -> None:
         langs=tuple(args.langs.split(",")),
         lm_min_avg_logp=args.lm_min_avg_logp,
         lm_ref_path=args.lm_ref,
+        span_n=args.span_n,
+        span_min_docs=args.span_min_docs,
+        classifier_weights_path=args.classifier_weights,
+        classifier_min_score=args.classifier_min_score,
+        classifier_n_buckets=args.classifier_buckets,
+        classifier_ngram=args.classifier_ngram,
+        classifier_bias=args.classifier_bias,
         n=args.shingle_n, n_hashes=args.n_hashes,
         bands=args.bands, threshold=args.threshold,
         survivorship=args.survivorship,

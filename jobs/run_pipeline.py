@@ -45,6 +45,14 @@ def main() -> None:
         "violations (the reference's --pedantic, app/src/main.rs:84-85)",
     )
     ap.add_argument(
+        "--reps", type=int, default=1,
+        help="run the (non-resume) pipeline this many times, printing "
+        "one elapsed_s line per rep; rep 1 pays one-time JVM codegen + "
+        "python-worker spawn, later reps are the steady state a "
+        "long-running cluster job amortizes to (writes are "
+        "mode=overwrite, so re-runs are idempotent)",
+    )
+    ap.add_argument(
         "--verbose", action="store_true",
         help="log-and-continue tier: print per-kind parse-error and "
         "violation counts (df.observe — zero extra scans)",
@@ -86,38 +94,48 @@ def main() -> None:
                     f"matches={r['n_matches']}"
                 )
     else:
-        # pedantic gates the SINKS parse too: the in-task raise fires
-        # during the first write job, so no sink output ever commits from
-        # a run that must fail on the first malformed line (the reference
-        # --pedantic aborts before emitting anything)
-        sessionized = sessionize(
-            parse_transcripts(transcripts, pedantic=args.pedantic)
-        )
-        obs = None
-        if args.verbose:
-            from quake3_log_analyser_spark.plans.checkpoint import (
-                issue_counts,
-                observe_issues,
+        for rep in range(args.reps):
+            t_rep0 = time.perf_counter()
+            # pedantic gates the SINKS parse too: the in-task raise fires
+            # during the first write job, so no sink output ever commits
+            # from a run that must fail on the first malformed line (the
+            # reference --pedantic aborts before emitting anything)
+            sessionized = sessionize(
+                parse_transcripts(transcripts, pedantic=args.pedantic)
             )
+            obs = None
+            if args.verbose:
+                from quake3_log_analyser_spark.plans.checkpoint import (
+                    issue_counts,
+                    observe_issues,
+                )
 
-            sessionized, obs = observe_issues(sessionized)
-        paths = write_sinks(sessionized, f"{args.output}/sinks")
-        summaries = summarize_matches(
-            transcripts, ops=ops,
-            stop_on_violations=args.stop_on_violations or args.pedantic,
-            stop_on_feed_errors=args.pedantic,
-            session_first=args.session_first,
+                sessionized, obs = observe_issues(sessionized)
+            paths = write_sinks(sessionized, f"{args.output}/sinks")
+            summaries = summarize_matches(
+                transcripts, ops=ops,
+                stop_on_violations=args.stop_on_violations or args.pedantic,
+                stop_on_feed_errors=args.pedantic,
+                session_first=args.session_first,
+            )
+            summaries.write.mode("overwrite").parquet(
+                f"{args.output}/match_summaries"
+            )
+            print(f"run {args.run_id}: sinks={list(paths)} + match_summaries")
+            if obs is not None:
+                for kind, n in sorted(issue_counts(obs).items()):
+                    print(f"log_issues {kind}: {n}")
+            print(
+                f"rep={rep} elapsed_s={time.perf_counter() - t_rep0:.3f} "
+                f"master={spark.sparkContext.master} "
+                f"parallelism={spark.sparkContext.defaultParallelism}"
+            )
+    if args.resume:
+        print(
+            f"elapsed_s={time.perf_counter() - t_work0:.3f} "
+            f"master={spark.sparkContext.master} "
+            f"parallelism={spark.sparkContext.defaultParallelism}"
         )
-        summaries.write.mode("overwrite").parquet(f"{args.output}/match_summaries")
-        print(f"run {args.run_id}: sinks={list(paths)} + match_summaries")
-        if obs is not None:
-            for kind, n in sorted(issue_counts(obs).items()):
-                print(f"log_issues {kind}: {n}")
-    print(
-        f"elapsed_s={time.perf_counter() - t_work0:.3f} "
-        f"master={spark.sparkContext.master} "
-        f"parallelism={spark.sparkContext.defaultParallelism}"
-    )
 
 
 if __name__ == "__main__":

@@ -192,6 +192,32 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def positional_word_ngrams(text: Column, n: int) -> Column:
+    """Position-preserving word ``n``-grams with multiplicity:
+    ``array<struct<pos:int, gram:string>>``, ``pos`` the 1-based start
+    token.  ``word_ngrams`` deduplicates (right for set-similarity);
+    substring-level dedup needs every occurrence AND where it sits."""
+    toks = F.transform(ws_tokens(text), lambda w: F.lower(w))
+    k = F.size(toks)
+    empty = F.array().cast("array<struct<pos:int,gram:string>>")
+    return F.when(k < n, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+            ),
+        )
+    )
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64.  md5 (not
+    xxhash64) so an external SQL engine recomputes identical keys —
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_hash(shingle: Column, seed: int) -> Column:
     """Per-seed shingle hash: first 15 hex chars (60 bits) of
     ``md5('seed<i>:' ++ shingle)`` as a long.

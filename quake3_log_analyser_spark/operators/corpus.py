@@ -268,3 +268,85 @@ def repetition_stats(
         ),
         F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_line_share"),
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    n: int = 1,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-n-grams linear classifier score — the fastText-style
+    quality/domain scorer every corpus build runs at full scale (e.g.
+    the CCNet / GPT-3 "looks like reference text" filter).  No
+    reference-repo counterpart; LLM-pipeline extension.
+
+    ``weights`` is a ``(bucket:int, weight:double)`` table for a model
+    trained offline.  Each word ``n``-gram (multiplicity kept — bag, not
+    set) hashes to ``bucket = hash60(gram) % n_buckets``; the doc score
+    is ``sigmoid(bias + mean(weight[bucket]))`` with absent buckets
+    contributing 0 — exactly a linear model over the hashed-count
+    feature vector, normalized by document length.
+
+    Spark shape: explode (linear in tokens) -> broadcast hash-join
+    against the weight table (map-side at any corpus size; pass
+    ``broadcast_weights=False`` for multi-GB vocabularies, which then
+    ride a shuffle join + AQE) -> one hash-agg per doc.  Pure JVM
+    expressions; md5-based bucketing so a SQL oracle recomputes
+    identical scores.
+
+    Returns ``(doc_id, n_grams, score)``; docs with no grams are kept
+    with ``score = sigmoid(bias)`` (zero feature vector).
+    """
+    from ..functions.text import hash60, positional_word_ngrams
+
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    # explode_outer keeps gram-less docs as a single null row, so one
+    # scan covers scored and empty docs alike (no distinct + join-back)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(positional_word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("g").isNotNull(),
+            F.pmod(hash60(F.col("g.gram")), F.lit(n_buckets)),
+        ).alias("bucket"),
+    )
+    summed = (
+        grams.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_wsum"),
+        )
+    )
+    return summed.select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(float(bias))
+                        + F.when(
+                            F.col("n_grams") > 0,
+                            F.col("_wsum") / F.col("n_grams"),
+                        ).otherwise(F.lit(0.0))
+                    )
+                )
+            ),
+            6,
+        ).alias("score"),
+    )

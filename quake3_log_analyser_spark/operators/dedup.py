@@ -524,3 +524,131 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring spans — the distributed analogue
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"; no reference-repo
+    counterpart, LLM-pipeline extension).
+
+    A suffix array finds every substring of >= n tokens occurring twice
+    in the corpus; that global sort does not distribute.  The
+    shuffle-native equivalent:
+
+    1. every position-preserving word ``n``-gram window, hashed to a
+       60-bit key (md5-based, DuckDB-reproducible)
+    2. gram doc-frequency: windows whose gram occurs in >= ``min_docs``
+       DISTINCT docs (hash-agg on the long key — never all-pairs)
+    3. flagged windows joined back on the key (shuffle join; dup-gram
+       side is corpus-scale for boilerplate, so no broadcast — AQE
+       skew-split owns hot grams)
+    4. per-doc interval merge: running-max window over ``pos`` fuses
+       overlapping/contiguous windows into maximal spans
+
+    Any duplicated token run of length L >= n is covered end-to-end by
+    its flagged windows, so the merged span recovers the full run (the
+    suffix-array answer) exactly; runs < n tokens are below the
+    detection floor by construction.
+
+    Returns ``(doc_id, start_tok, end_tok, n_windows)`` — 1-based,
+    end-exclusive: ``slice(tokens, start_tok, end_tok - start_tok)`` is
+    the duplicated span.  Per-doc window state is bounded by document
+    length, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import hash60, positional_word_ngrams
+
+    win = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(positional_word_ngrams(F.col(text_col), n)).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w.pos").alias("pos"),
+        hash60(F.col("w.gram")).alias("gram_h"),
+    )
+    dup = (
+        win.groupBy("gram_h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram_h")
+    )
+    flagged = win.join(dup, "gram_h").select("doc_id", "pos")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.withColumn(
+            "new_span",
+            (
+                F.col("pos")
+                > F.coalesce(F.max(F.col("pos") + n).over(prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(cur))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + n).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("span_id")
+    )
+    return spans
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove ``duplicated_spans`` output from the documents: tokens whose
+    1-based position falls inside any of the doc's ``[start_tok,
+    end_tok)`` spans are dropped and the remainder re-joined with single
+    spaces (tokenization is the unit the spans are defined over, so
+    original inter-token whitespace inside kept regions is not
+    preserved).  Docs with no spans pass through with text unchanged.
+
+    Span lists ride a per-doc ``collect_list`` — bounded by spans per
+    document (intervals are merged maximal, so at most len/n of them),
+    then the token filter is a pure JVM array expression.
+    """
+    from ..functions.text import ws_tokens
+
+    span_arrays = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    toks = ws_tokens(F.col(text_col))
+    kept = F.filter(
+        F.transform(
+            toks, lambda w, i: F.struct((i + 1).alias("pos"), w.alias("w"))
+        ),
+        lambda t: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<start_tok:int,end_tok:int>>"),
+            ),
+            lambda s: (t["pos"] >= s["start_tok"]) & (t["pos"] < s["end_tok"]),
+        ),
+    )
+    cleaned = F.when(
+        F.col("_spans").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", F.transform(kept, lambda t: t["w"])))
+    return docs.join(span_arrays, id_col, "left").withColumn(
+        text_col, cleaned
+    ).drop("_spans")

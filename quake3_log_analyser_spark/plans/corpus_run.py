@@ -11,11 +11,17 @@ The stage menu is configurable (``ops``), mirroring the reference CLI's
 operation menu (app/src/main.rs:86-97) and the match pipeline's ``--ops``:
 
   dedup           exact-duplicate removal            -> ``{out}/deduped``
+  span_dedup      cross-doc repeated-substring strip
+                  (duplicated_spans + strip_spans)   -> ``{out}/span_deduped``
   gate            quality + language filter          -> ``{out}/gated``
   lm_gate         CCNet-style trigram-LM perplexity
                   filter (model trained on
                   ``lm_ref_path`` or, when None, on
                   the stage input itself)            -> ``{out}/lm_gated``
+  classifier_gate hashed n-gram linear classifier
+                  (fastText-style; offline-trained
+                  weight table from
+                  ``classifier_weights_path``)       -> ``{out}/classifier_gated``
   pii             email/URL/IPv4 redaction in text   -> ``{out}/pii_redacted``
   decontaminate   drop docs sharing n-grams with a
                   benchmark/eval set                 -> ``{out}/decontaminated``
@@ -69,8 +75,10 @@ from .checkpoint import commit_unit, commit_units, committed_units
 # canonical execution order; ``ops`` selects a subset of these
 STAGES = (
     "dedup",
+    "span_dedup",
     "gate",
     "lm_gate",
+    "classifier_gate",
     "pii",
     "decontaminate",
     "repetition_gate",
@@ -82,8 +90,10 @@ DEFAULT_OPS = ("dedup", "gate", "neardup")
 
 _STAGE_DIRS = {
     "dedup": "deduped",
+    "span_dedup": "span_deduped",
     "gate": "gated",
     "lm_gate": "lm_gated",
+    "classifier_gate": "classifier_gated",
     "pii": "pii_redacted",
     "decontaminate": "decontaminated",
     "repetition_gate": "repetition_gated",
@@ -151,6 +161,13 @@ def run_corpus_resumable(
     langs: tuple[str, ...] = ("en",),
     lm_min_avg_logp: float = -7.0,
     lm_ref_path: str | None = None,
+    span_n: int = 8,
+    span_min_docs: int = 2,
+    classifier_weights_path: str | None = None,
+    classifier_min_score: float = 0.5,
+    classifier_n_buckets: int = 1 << 18,
+    classifier_ngram: int = 1,
+    classifier_bias: float = 0.0,
     n: int = 1,
     n_hashes: int = 16,
     bands: int = 8,
@@ -183,10 +200,13 @@ def run_corpus_resumable(
     from ..functions.text import lang_guess, quality_score, redact_pii
     from ..operators.corpus import contaminated_docs, repetition_stats
     from ..operators.lm import lm_gate, train_char_lm
+    from ..operators.corpus import classifier_score
     from ..operators.dedup import (
         dedup_survivors,
+        duplicated_spans,
         minhash_lsh_pairs,
         neardup_survivors_cc,
+        strip_spans,
     )
     from ..operators.pack import chunk_documents, pack_sequences
 
@@ -203,6 +223,10 @@ def run_corpus_resumable(
         raise ValueError("ops selects no stages")
     if "decontaminate" in selected and benchmark_path is None:
         raise ValueError("decontaminate stage needs benchmark_path")
+    if "classifier_gate" in selected and classifier_weights_path is None:
+        raise ValueError(
+            "classifier_gate stage needs classifier_weights_path"
+        )
 
     ops_marker = "ops=" + ",".join(selected)
     params_marker = _params_marker(
@@ -211,6 +235,13 @@ def run_corpus_resumable(
             "langs": tuple(langs),
             "lm_min_avg_logp": lm_min_avg_logp,
             "lm_ref_path": lm_ref_path,
+            "span_n": span_n,
+            "span_min_docs": span_min_docs,
+            "classifier_weights_path": classifier_weights_path,
+            "classifier_min_score": classifier_min_score,
+            "classifier_n_buckets": classifier_n_buckets,
+            "classifier_ngram": classifier_ngram,
+            "classifier_bias": classifier_bias,
             "n": n,
             "n_hashes": n_hashes,
             "bands": bands,
@@ -248,6 +279,12 @@ def run_corpus_resumable(
                 F.col("doc_id").alias(id_col)
             )
             return inp.join(removed, id_col, "left_anti")
+        if stage == "span_dedup":
+            spans = duplicated_spans(
+                inp, n=span_n, min_docs=span_min_docs,
+                id_col=id_col, text_col=text_col,
+            ).withColumnRenamed("doc_id", id_col)
+            return strip_spans(inp, spans, id_col=id_col, text_col=text_col)
         if stage == "gate":
             return inp.select(
                 F.col(id_col),
@@ -272,6 +309,18 @@ def run_corpus_resumable(
             return lm_gate(
                 inp, model, lm_min_avg_logp, id_col=id_col, text_col=text_col
             )
+        if stage == "classifier_gate":
+            weights = spark.read.parquet(classifier_weights_path)
+            keep = (
+                classifier_score(
+                    inp, weights,
+                    n_buckets=classifier_n_buckets, n=classifier_ngram,
+                    bias=classifier_bias, id_col=id_col, text_col=text_col,
+                )
+                .filter(F.col("score") >= classifier_min_score)
+                .select(F.col("doc_id").alias(id_col))
+            )
+            return inp.join(keep, id_col, "left_semi")
         if stage == "pii":
             return inp.withColumn(text_col, redact_pii(F.col(text_col)))
         if stage == "decontaminate":

@@ -64,6 +64,16 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local[{cpus}]",
+        # JVM-launch-time settings CANNOT come from the in-app session
+        # builder under spark-submit (the JVM is already up when Python
+        # runs): driver memory and GC flags must ride the command line.
+        # These mirror session.py's defaults — without them the job runs
+        # on a 1 GB heap with default G1 sizing, which live-locks at 32
+        # executor threads (measured: local[32] SLOWER than local[8]).
+        "--driver-memory", "24g",
+        "--conf",
+        "spark.driver.extraJavaOptions="
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=16",
         "--conf", f"spark.sql.shuffle.partitions={cpus}",
         "--conf", "spark.sql.files.maxPartitionBytes=67108864",
         "--py-files", str(zip_path),
@@ -73,6 +83,7 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
         "--checkpoint", str(ck),
         "--ops", "kills",
         "--run-id", f"submit-{tag}",
+        "--reps", "2",
     ]
     r = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=1800,
@@ -80,8 +91,12 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
         raise SystemExit(f"spark-submit local[{cpus}] failed")
-    m = re.search(r"elapsed_s=([0-9.]+)", r.stdout)
-    if not m:
+    # the job prints one elapsed_s per rep; rep 1 pays one-time JVM
+    # codegen + python-worker spawn (core-count-independent, so folding
+    # it in would measure the sandbox's startup cost, not the pipeline's
+    # scaling) — take the LAST rep, the amortized steady state
+    times = re.findall(r"elapsed_s=([0-9.]+)", r.stdout)
+    if not times:
         sys.stderr.write(r.stdout[-2000:] + "\n")
         raise SystemExit("no elapsed_s line in job output")
     mm = re.search(r"master=(\S+)", r.stdout)
@@ -89,7 +104,7 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
         f"job ran on {mm and mm.group(1)}, wanted local[{cpus}] — "
         "the submitted master was not honored"
     )
-    return float(m.group(1))
+    return float(times[-1])
 
 
 def count_rows(input_path: Path) -> int:
@@ -109,13 +124,17 @@ def main() -> None:
     n4 = 4 * n
     n_turns = count_rows(input_path)
 
-    tmp = Path(tempfile.mkdtemp(prefix="submit_scaling_"))
+    # outputs + checkpoints on tmpfs: this box's VM disk (~200 MB/s,
+    # shared) serializes the five-sink parquet write and would measure
+    # the disk, not the pipeline — on a real cluster the sink write goes
+    # to distributed storage whose bandwidth scales with the node count
+    tmp_base = "/dev/shm" if Path("/dev/shm").is_dir() else None
+    tmp = Path(tempfile.mkdtemp(prefix="submit_scaling_", dir=tmp_base))
     try:
         zip_path = build_zip(tmp)
-        # warm-up pair: first-ever runs pay one-time filesystem/page-cache
-        # costs on the input; discard one point per side
-        one_run(n, zip_path, input_path, tmp, f"warm{n}")
-        one_run(n4, zip_path, input_path, tmp, f"warm{n4}")
+        # no cross-JVM warm-up pair needed: each point's rep 1 loads the
+        # input into page cache and pays codegen, and only the last rep
+        # is measured
         lo, hi = [], []
         for r in range(rounds):
             lo.append(one_run(n, zip_path, input_path, tmp, f"r{r}c{n}"))
@@ -138,8 +157,8 @@ def main() -> None:
             "turns_per_sec": {str(n): round(thr_lo), str(n4): round(thr_hi)},
             "scaling_efficiency": round(eff, 3),
             "protocol": (
-                f"fresh JVM per point, interleaved {n}/{n4}, "
-                f"1 warm-up pair + median of {rounds}"
+                f"fresh JVM per point, interleaved {n}/{n4}, 2 reps per "
+                f"JVM (rep 2 measured), median of {rounds}"
             ),
         }
         line = json.dumps(result)

@@ -1284,3 +1284,199 @@ def test_mixture_sample_rates_and_determinism(spark):
     )
     with pytest.raises(ValueError, match="rate"):
         mixture_sample(df, {"a": 1.5})
+
+
+# -- cross-document repeated-substring spans ---------------------------------
+
+
+def test_duplicated_spans_finds_shared_run(spark):
+    from quake3_log_analyser_spark.operators.dedup import duplicated_spans
+
+    boiler = "all rights reserved subject to the terms of use"  # 9 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"one two three four {boiler}"),
+        (3, "completely unrelated text with no shared windows here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in duplicated_spans(d, n=8, min_docs=2).collect()
+    }
+    # the 9-token boilerplate run yields two overlapping 8-gram windows
+    # that merge into one maximal span covering exactly the run
+    assert spans[1] == (3, 12, 2)   # tokens 3..11 (1-based, end-excl)
+    assert spans[2] == (5, 14, 2)
+    assert 3 not in spans
+
+
+def test_duplicated_spans_merges_contiguous_and_respects_floor(spark):
+    from quake3_log_analyser_spark.operators.dedup import duplicated_spans
+
+    # two docs sharing two DISJOINT 4-token runs separated by unique
+    # middles: with n=4 each run is its own span; a 3-token shared run
+    # is below the detection floor
+    a = "p q r s AAA BBB CCC DDD u1 u2 u3 EEE FFF GGG HHH tail1"
+    b = "AAA BBB CCC DDD x1 x2 x3 x4 EEE FFF GGG HHH y1 y2 short run yes"
+    c = "short run yes plus other words entirely different here now ok fine"
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id int, text string"
+    )
+    out = duplicated_spans(d, n=4, min_docs=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"])
+        )
+    assert sorted(per_doc[1]) == [(5, 9), (12, 16)]
+    assert sorted(per_doc[2]) == [(1, 5), (9, 13)]
+    # the 3-token "short run yes" shared by docs 2 and 3 is < n: absent
+    assert 3 not in per_doc
+
+
+def test_strip_spans_removes_exactly_the_spans(spark):
+    from quake3_log_analyser_spark.operators.dedup import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = spark.createDataFrame(
+        [
+            (1, f"keep1 keep2 {boiler} keep3"),
+            (2, f"{boiler} solo1 solo2 solo3"),
+            (3, "nothing shared in this document at all zero dup"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = duplicated_spans(d, n=8, min_docs=2)
+    out = {r["doc_id"]: r["text"] for r in strip_spans(d, spans).collect()}
+    assert out[1] == "keep1 keep2 keep3"
+    assert out[2] == "solo1 solo2 solo3"
+    assert out[3] == "nothing shared in this document at all zero dup"
+
+
+# -- hashed n-gram linear classifier -----------------------------------------
+
+
+def test_classifier_score_matches_hand_computation(spark):
+    import hashlib
+    import math
+
+    from quake3_log_analyser_spark.operators.corpus import classifier_score
+
+    n_buckets = 64
+    docs = spark.createDataFrame(
+        [(1, "good words here"), (2, "bad stuff"), (3, "")],
+        "doc_id int, text string",
+    )
+    weights = spark.createDataFrame(
+        [(b, (b % 7 - 3) * 0.1) for b in range(n_buckets)],
+        "bucket int, weight double",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["score"])
+        for r in classifier_score(
+            docs, weights, n_buckets=n_buckets, n=1, bias=0.5
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    for doc_id, text in [(1, "good words here"), (2, "bad stuff")]:
+        toks = text.split()
+        mean_w = sum((bucket(t) % 7 - 3) * 0.1 for t in toks) / len(toks)
+        want = 1.0 / (1.0 + math.exp(-(0.5 + mean_w)))
+        got_n, got_s = out[doc_id]
+        assert got_n == len(toks)
+        assert abs(got_s - round(want, 6)) < 1e-9
+    # empty doc: zero feature vector -> sigmoid(bias)
+    assert out[3] == (0, round(1.0 / (1.0 + math.exp(-0.5)), 6))
+
+
+def test_classifier_score_plan_broadcasts_weights(spark):
+    from quake3_log_analyser_spark.operators.corpus import classifier_score
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    weights = spark.createDataFrame([(0, 0.1)], "bucket int, weight double")
+    plan = classifier_score(docs, weights)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_job_span_dedup_and_classifier_gate_stages(spark, tmp_path):
+    """The span_dedup and classifier_gate stages run inside the staged
+    corpus pipeline: boilerplate shared across docs is stripped from the
+    text, then the classifier keeps only docs scoring above threshold
+    against the weight table."""
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.operators.corpus import classifier_score
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"unique one text {boiler}"),
+        (2, f"{boiler} other words two"),
+        (3, "third document with nothing shared at all in it"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    weights = spark.createDataFrame(
+        [(b, (b % 7 - 3) * 0.1) for b in range(64)], "bucket int, weight double"
+    )
+    wpath = str(tmp_path / "weights")
+    weights.write.parquet(wpath)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    done = run_corpus_resumable(
+        spark, d, out, ckpt, run_id="t-span",
+        ops=("span_dedup", "classifier_gate"),
+        span_n=8, span_min_docs=2,
+        classifier_weights_path=wpath,
+        classifier_min_score=0.0,  # keep all: stage plumbing under test
+        classifier_n_buckets=64,
+    )
+    assert done == ["stage=span_dedup", "stage=classifier_gate"]
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/span_deduped").collect()
+    }
+    assert stripped[1] == "unique one text"
+    assert stripped[2] == "other words two"
+    assert stripped[3] == "third document with nothing shared at all in it"
+
+    # classifier_gate with a real threshold drops what the library drops
+    gated = spark.read.parquet(f"{out}/classifier_gated")
+    assert gated.count() == 3  # min_score=0.0 keeps everything
+    src = spark.read.parquet(f"{out}/span_deduped")
+    lib_scores = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(src, weights, n_buckets=64).collect()
+    }
+    # threshold just above the minimum score: drops exactly the
+    # lowest-scoring doc(s), tie-robust (scores are rounded to 6 dp)
+    thr = min(lib_scores.values()) + 1e-6
+    out2 = str(tmp_path / "out2")
+    run_corpus_resumable(
+        spark, d, out2, str(tmp_path / "ckpt2"), run_id="t-span2",
+        ops=("span_dedup", "classifier_gate"),
+        span_n=8, span_min_docs=2,
+        classifier_weights_path=wpath,
+        classifier_min_score=thr,
+        classifier_n_buckets=64,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out2}/classifier_gated").collect()
+    }
+    assert kept == {i for i, s in lib_scores.items() if s >= thr}
+    assert len(kept) < 3  # the minimum scorer(s) dropped
+
+    # classifier_gate without a weight table must refuse up front
+    with pytest.raises(ValueError, match="classifier_weights_path"):
+        run_corpus_resumable(
+            spark, d, str(tmp_path / "out3"), str(tmp_path / "ckpt3"),
+            run_id="t-span3", ops=("classifier_gate",),
+        )
