@@ -1827,11 +1827,13 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring spans (operators.dedup.
     duplicated_spans): maximal token spans whose every 5-gram window
     occurs in >= 2 distinct documents — the distributed analogue of
-    suffix-array substring dedup (Lee et al. 2022)."""
+    suffix-array substring dedup (Lee et al. 2022).  gram_hash="md5" is
+    the cross-engine-reproducible mode this oracle requires; production
+    default is xxhash64 straight over the token slice."""
     from quake3_log_analyser_spark.operators.dedup import duplicated_spans
 
     docs = _table(spark, sf_dir, "documents")
-    return duplicated_spans(docs, n=5, min_docs=2)
+    return duplicated_spans(docs, n=5, min_docs=2, gram_hash="md5")
 
 
 _ORACLE_DUP_SPANS = r"""
@@ -1869,6 +1871,37 @@ SELECT doc_id,
   CAST(MAX(pos) + 5 AS INT) AS end_tok,
   CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, span_id
+"""
+
+
+def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary (operators.corpus.build_vocab): top-100
+    whitespace tokens by count, ties broken by token string — the
+    on-corpus tokenizer-vocab build that feeds vocab_token_count."""
+    from quake3_log_analyser_spark.operators.corpus import build_vocab
+
+    docs = _table(spark, sf_dir, "documents")
+    return build_vocab(docs, size=100, min_count=2)
+
+
+_ORACLE_BUILD_VOCAB = r"""
+WITH tok AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+c AS (
+  SELECT x AS token, COUNT(*) AS count
+  FROM tok, UNNEST(t) AS u(x)
+  GROUP BY x HAVING COUNT(*) >= 2
+),
+r AS (
+  SELECT token, count,
+    ROW_NUMBER() OVER (ORDER BY count DESC, token) AS rank
+  FROM c
+)
+SELECT token, CAST(count AS BIGINT) AS count, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 100
 """
 
 
@@ -1922,6 +1955,7 @@ FROM tok t LEFT JOIN s USING (doc_id)
 
 _EXTRA_QUERIES = {
     "duplicated_spans": _q_duplicated_spans,
+    "build_vocab": _q_build_vocab,
     "classifier_score": _q_classifier_score,
     "lm_scores": _q_lm_scores,
     "quantized_topk": _q_quantized_topk,
@@ -1957,6 +1991,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "duplicated_spans": _ORACLE_DUP_SPANS,
+    "build_vocab": _ORACLE_BUILD_VOCAB,
     "classifier_score": _ORACLE_CLASSIFIER,
     "lm_scores": _ORACLE_LM_SCORES,
     "quantized_topk": _ORACLE_QUANTIZED_TOPK,

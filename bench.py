@@ -337,6 +337,53 @@ def main() -> None:
         }
     )
 
+    # cross-document repeated-substring spans (round-5): 400k docs x ~46
+    # tokens (~18M gram windows through explode -> doc-freq agg -> join-
+    # back -> interval merge), 10% carrying a shared 10-token boilerplate
+    # tail.  span_detect is detection only; span_strip adds the span
+    # join-back + JVM token filter over the full corpus.
+    from quake3_log_analyser_spark.operators.dedup import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    # per-doc pseudo-random tokens: doc bodies share NO grams (xxhash64
+    # mix on (doc_id, position) — an AFFINE mix here makes doc A a
+    # shifted copy of doc B whenever a*(idA-idB) = b*shift mod p, and
+    # every doc matches), so only the injected boilerplate tail is
+    # cross-document-duplicated — detection sees realistic selectivity
+    span_docs = spark.range(400_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(36)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id"), i), F.lit(999983))
+                        .cast("string"),
+                    ),
+                ),
+            ),
+            F.when(
+                F.col("id") % 10 == 0,
+                F.lit(" all rights reserved subject to the site terms of use"),
+            ).otherwise(F.lit(" tail")),
+        ).alias("text"),
+    )
+
+    def span_detect():
+        return duplicated_spans(span_docs, n=8).count()
+
+    def span_strip():
+        sp = duplicated_spans(span_docs, n=8)
+        return strip_spans(span_docs, sp).agg(
+            F.sum(F.length("text"))
+        ).collect()[0][0]
+
+    bench_paired({"span_detect": span_detect, "span_strip": span_strip})
+
     # float32 vs int8 brute-force ANN: identical top-k work over the same
     # 1.6M x 64 vectors, one table materialized as float arrays (~400 MB
     # parquet), the twin pre-quantized to int8 at "ingest" (~115 MB —

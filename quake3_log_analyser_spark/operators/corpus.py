@@ -350,3 +350,46 @@ def classifier_score(
             6,
         ).alias("score"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int = 32768,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency vocabulary: the top-``size`` whitespace tokens by
+    occurrence count (ties broken by token string, so the table is fully
+    deterministic across runs and partitionings).  The on-corpus
+    counterpart of an offline tokenizer build: feed the ``token`` column
+    to ``vocab_token_count`` / ``pack_sequences(token_counter=...)`` and
+    packing budgets reflect the corpus's own vocabulary.
+
+    Spark shape: one explode (linear in tokens) -> one hash-agg on the
+    token -> global top-k.  The top-k is a single-partition sort of the
+    AGGREGATED (distinct-token) table, not the corpus: vocab candidates
+    number ~10^7 even at 10^12 tokens, and ``min_count`` prunes the
+    hapax tail before the sort.  Returns ``(token, count, rank)`` with
+    rank 1-based densely ascending (most frequent first).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ws_tokens
+
+    counts = (
+        docs.select(
+            F.explode(
+                F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("count").desc(), F.col("token"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= size)

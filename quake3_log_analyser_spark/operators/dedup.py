@@ -532,6 +532,7 @@ def duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_hash: str = "fast",
 ) -> DataFrame:
     """Cross-document repeated-substring spans — the distributed analogue
     of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -542,8 +543,14 @@ def duplicated_spans(
     in the corpus; that global sort does not distribute.  The
     shuffle-native equivalent:
 
-    1. every position-preserving word ``n``-gram window, hashed to a
-       60-bit key (md5-based, DuckDB-reproducible)
+    1. every position-preserving word ``n``-gram window, hashed to an
+       int64 key.  ``gram_hash="fast"`` (default) is ``xxhash64`` applied
+       DIRECTLY to the token slice — no per-window gram string is ever
+       materialized (measured at 15M windows: the string build + md5 was
+       the dominant cost); ``gram_hash="md5"`` builds the joined gram
+       string and takes 60 md5 bits, bit-reproducible in external SQL
+       engines (the driver's DuckDB oracle runs this mode).  Both modes
+       produce identical spans up to int64 hash collisions.
     2. gram doc-frequency: windows whose gram occurs in >= ``min_docs``
        DISTINCT docs (hash-agg on the long key — never all-pairs)
     3. flagged windows joined back on the key (shuffle join; dup-gram
@@ -564,22 +571,55 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import hash60, positional_word_ngrams
+    from ..functions.text import bind_once, hash60, ws_tokens
 
+    if gram_hash not in ("fast", "md5"):
+        raise ValueError(f"gram_hash must be 'fast' or 'md5', got {gram_hash!r}")
+
+    def _windows(toks):
+        # toks is a BOUND lambda variable (bind_once): referencing the
+        # raw tokenize expression here would re-split the text per
+        # window, O(len^2) — measured 3.2x on the 12M-window bench
+        k = F.size(toks)
+        if gram_hash == "fast":
+            key = lambda i: F.xxhash64(F.slice(toks, i, n))  # noqa: E731
+        else:
+            key = lambda i: hash60(  # noqa: E731
+                F.concat_ws(" ", F.slice(toks, i, n))
+            )
+        empty = F.array().cast("array<struct<pos:int,gram_h:bigint>>")
+        return F.when(k < n, empty).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"), key(i).alias("gram_h")
+                ),
+            )
+        )
+
+    windows = bind_once(
+        F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w)), _windows
+    )
     win = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(positional_word_ngrams(F.col(text_col), n)).alias("w"),
-    ).select(
-        "doc_id",
-        F.col("w.pos").alias("pos"),
-        hash60(F.col("w.gram")).alias("gram_h"),
-    )
-    dup = (
-        win.groupBy("gram_h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_docs)
-        .select("gram_h")
-    )
+        F.col(id_col).alias("doc_id"), F.explode(windows).alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_h").alias("gram_h"))
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+        # cheap partial-aggregable min/max instead of the two-phase
+        # exact-distinct plan (measured 18M windows: ~25% faster stage)
+        dup = (
+            win.groupBy("gram_h")
+            .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+            .select("gram_h")
+        )
+    else:
+        dup = (
+            win.groupBy("gram_h")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") >= min_docs)
+            .select("gram_h")
+        )
     flagged = win.join(dup, "gram_h").select("doc_id", "pos")
     prev = (
         Window.partitionBy("doc_id")

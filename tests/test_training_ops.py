@@ -1480,3 +1480,64 @@ def test_corpus_job_span_dedup_and_classifier_gate_stages(spark, tmp_path):
             spark, d, str(tmp_path / "out3"), str(tmp_path / "ckpt3"),
             run_id="t-span3", ops=("classifier_gate",),
         )
+
+
+def test_build_vocab_counts_ranks_and_feeds_tokenizer(spark):
+    from quake3_log_analyser_spark.functions.text import vocab_token_count
+    from quake3_log_analyser_spark.operators.corpus import build_vocab
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "THE cat ran"),
+            (3, "a dog ran fast"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = build_vocab(d, size=3, min_count=2).collect()
+    got = [(r["token"], r["count"], r["rank"]) for r in rows]
+    # the:3, cat:2, ran:2 (tie broken by token string: cat < ran);
+    # every count-1 token pruned by min_count, size=3 caps the rest
+    assert sorted(got, key=lambda t: t[2]) == [
+        ("the", 3, 1), ("cat", 2, 2), ("ran", 2, 3)
+    ]
+
+    # determinism under repartition (the tie-break makes ranks total)
+    again = build_vocab(d.repartition(7), size=3, min_count=2).collect()
+    assert sorted((r["token"], r["count"], r["rank"]) for r in again) == sorted(got)
+
+    # the built table plugs straight into the real-tokenizer hook
+    vocab = [r["token"] for r in rows]
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", vocab_token_count(F.col("text"), vocab).alias("n")
+        ).collect()
+    }
+    # doc 1: the(1) cat(1) sat(3 chars) on(2) the(1) mat(3) = 11
+    assert counts[1] == 11
+    assert counts[4] == 0
+
+
+def test_duplicated_spans_hash_modes_agree(spark):
+    from quake3_log_analyser_spark.operators.dedup import duplicated_spans
+
+    boiler = "shared run of nine tokens exactly here for sure yes"
+    d = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} trailing words"),
+            (3, "independent text with nothing repeated across documents"),
+        ],
+        "doc_id int, text string",
+    )
+    fast = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in duplicated_spans(d, n=8, gram_hash="fast").collect()
+    )
+    md5 = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in duplicated_spans(d, n=8, gram_hash="md5").collect()
+    )
+    assert fast == md5 and len(fast) == 2
