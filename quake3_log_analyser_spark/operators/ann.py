@@ -529,6 +529,8 @@ def quantize_int8(
     NULL vectors stay NULL.  Pure JVM expressions — no Python, stays in
     whole-stage codegen.
     """
+    from ..functions.text import bind_once
+
     v = F.col(vec_col)
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x.cast("double"))),
@@ -536,10 +538,21 @@ def quantize_int8(
         lambda acc, x: F.greatest(acc, x),
     )
     scale = amax / F.lit(127.0)
-    q = F.when(
-        amax > 0,
-        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    # amax is BOUND once (bind_once) before the per-element lambda:
+    # referencing the aggregate expression inside transform would
+    # re-reduce the whole vector per element, O(dim^2) per row
+    q = bind_once(
+        amax,
+        lambda m: F.when(
+            m > 0,
+            F.transform(
+                v,
+                lambda x: F.round(x.cast("double") / (m / F.lit(127.0))).cast(
+                    "tinyint"
+                ),
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint"))),
+    )
     return df.withColumn(scale_col, scale).withColumn(q_col, q)
 
 

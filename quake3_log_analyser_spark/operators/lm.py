@@ -32,7 +32,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from quake3_log_analyser_spark.functions.text import normalize_text
+from quake3_log_analyser_spark.functions.text import bind_once, normalize_text
 
 #: Laplace-smoothing vocabulary size: the assumed number of possible
 #: trigram continuations per 2-char context.  Any fixed constant works —
@@ -47,14 +47,29 @@ def char_trigrams(text: Column) -> Column:
     dedup fingerprint uses).  Texts shorter than 3 normalized chars give
     an empty array.  Pure JVM expressions (sequence + transform + substr).
     """
-    t = normalize_text(text)
-    return F.when(
-        F.length(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - 2),
-            lambda i: t.substr(i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def _from_chars(cs):
+        # cs is the normalized text split to a BOUND char array
+        # (bind_once).  Two O(len^2) traps avoided, both measured on a
+        # 200k x 800-char corpus: substr-ing the raw normalize_text
+        # EXPRESSION inside the per-position lambda re-runs the regexp
+        # normalization per trigram (326 s); even a bound string stays
+        # quadratic because UTF8String.substr(i, 3) scans code points
+        # from the start, O(i) per call (30 s).  Three element_at hits
+        # on the bound char array are O(1) each -> 7 s, truly linear.
+        k = F.size(cs)
+        return F.when(
+            k >= 3,
+            F.transform(
+                F.sequence(F.lit(1), k - 2),
+                lambda i: F.concat(
+                    F.element_at(cs, i),
+                    F.element_at(cs, i + 1),
+                    F.element_at(cs, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(F.split(normalize_text(text), ""), _from_chars)
 
 
 def _logp_micro(tri_cnt: Column, ctx_cnt: Column, alpha: float) -> Column:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import ws_tokens
+from ..functions.text import bind_once, ws_tokens
 from .corpus import _hash_hex
 
 
@@ -46,12 +46,18 @@ def chunk_documents(
             f"need 0 <= overlap < chunk_tokens, got {overlap} / {chunk_tokens}"
         )
     step = chunk_tokens - overlap
-    toks = ws_tokens(F.col(text_col))
-    k = F.size(toks)
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - overlap, F.lit(1)), F.lit(step)),
-        lambda s: F.slice(toks, s, chunk_tokens),
-    )
+
+    def _chunks(toks):
+        # toks is a BOUND lambda variable (bind_once): slicing the raw
+        # ws_tokens expression inside the per-chunk lambda would
+        # re-tokenize the document per chunk start, O(len^2/step)
+        k = F.size(toks)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(k - overlap, F.lit(1)), F.lit(step)),
+            lambda s: F.slice(toks, s, chunk_tokens),
+        )
+
+    chunks = bind_once(ws_tokens(F.col(text_col)), _chunks)
     return (
         docs.select(F.col(id_col), chunks.alias("_chunks"))
         .filter(F.size("_chunks") > 0)
