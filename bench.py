@@ -92,6 +92,59 @@ def ensure_ann_tables(spark, n_vec: int = 400_000, dim: int = 64) -> tuple[str, 
     return fpath, qpath
 
 
+def ensure_span_docs(spark, n_docs: int = 400_000) -> str:
+    """Generate (once) the 400k-doc synthetic corpus the span-dedup and
+    BM25 benches read.  MATERIALIZED, not generated per scan — measuring
+    an operator over an inline generator frame re-runs the 16M-xxhash64
+    synthesis inside every scan and times the generator, not the operator.
+
+    Per-doc pseudo-random tokens: doc bodies share NO grams (xxhash64 mix
+    on (doc_id, position) — an AFFINE mix here makes doc A a shifted copy
+    of doc B whenever a*(idA-idB) = b*shift mod p, and every doc matches),
+    so only the injected boilerplate tail is cross-document-duplicated —
+    span detection sees realistic selectivity, and the boilerplate tokens
+    give BM25 query terms at two selectivities (10% and 90% of docs)."""
+    from pyspark.sql import functions as F
+
+    path = str(REPO / "data" / f"span_docs_{n_docs // 1000}k")
+    if not (Path(path) / "_SUCCESS").exists():
+        spark.range(n_docs, numPartitions=CPUS * 2).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(36)),
+                        lambda i: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.xxhash64(F.col("id"), i), F.lit(999983))
+                            .cast("string"),
+                        ),
+                    ),
+                ),
+                F.when(
+                    F.col("id") % 10 == 0,
+                    F.lit(
+                        " all rights reserved subject to the site terms of use"
+                    ),
+                ).otherwise(F.lit(" tail")),
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def ensure_bm25_index(spark, docs_path: str, n_buckets: int = 64) -> str:
+    """Build (once) the bucket-partitioned BM25 inverted index over the
+    span-docs corpus — the one-time linear build ``bm25_topk_indexed``
+    amortizes."""
+    from quake3_log_analyser_spark.operators.retrieval import bm25_write_index
+
+    path = str(REPO / "data" / f"bm25_idx_400k_b{n_buckets}")
+    if not (Path(path) / "stats" / "_SUCCESS").exists():
+        bm25_write_index(spark.read.parquet(docs_path), path, n_buckets=n_buckets)
+    return path
+
+
 def ensure_bucketed(spark, tpath: str, n_buckets: int = 32) -> str:
     """Bucketed + sorted twin of the bench table: the sessionize window
     reads it with NO shuffle and NO sort (SURVEY.md §4 scale lever).
@@ -347,31 +400,7 @@ def main() -> None:
         strip_spans,
     )
 
-    # per-doc pseudo-random tokens: doc bodies share NO grams (xxhash64
-    # mix on (doc_id, position) — an AFFINE mix here makes doc A a
-    # shifted copy of doc B whenever a*(idA-idB) = b*shift mod p, and
-    # every doc matches), so only the injected boilerplate tail is
-    # cross-document-duplicated — detection sees realistic selectivity
-    span_docs = spark.range(400_000).select(
-        F.col("id").alias("doc_id"),
-        F.concat(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(36)),
-                    lambda i: F.concat(
-                        F.lit("w"),
-                        F.pmod(F.xxhash64(F.col("id"), i), F.lit(999983))
-                        .cast("string"),
-                    ),
-                ),
-            ),
-            F.when(
-                F.col("id") % 10 == 0,
-                F.lit(" all rights reserved subject to the site terms of use"),
-            ).otherwise(F.lit(" tail")),
-        ).alias("text"),
-    )
+    span_docs = spark.read.parquet(ensure_span_docs(spark))
 
     def span_detect():
         return duplicated_spans(span_docs, n=8).count()
@@ -383,6 +412,27 @@ def main() -> None:
         ).collect()[0][0]
 
     bench_paired({"span_detect": span_detect, "span_strip": span_strip})
+
+    # BM25 brute vs inverted-index over the same 400k-doc corpus and the
+    # same 3-term query (terms at 10%/10%/90% doc frequency).  The brute
+    # path tokenizes the corpus per query; the indexed path reads only
+    # the query terms' bucket directories of the prebuilt postings
+    # (static partition pruning) — the pruning claim, measured.
+    from quake3_log_analyser_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    bm25_terms = ["reserved", "terms", "tail"]
+    bm25_idx = ensure_bm25_index(spark, ensure_span_docs(spark))
+    bench_paired(
+        {
+            "bm25_brute": lambda: bm25_topk(span_docs, bm25_terms, k=10).collect(),
+            "bm25_indexed": lambda: bm25_topk_indexed(
+                spark, bm25_idx, bm25_terms, k=10
+            ).collect(),
+        }
+    )
 
     # float32 vs int8 brute-force ANN: identical top-k work over the same
     # 1.6M x 64 vectors, one table materialized as float arrays (~400 MB

@@ -171,13 +171,23 @@ def bm25_write_index(
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
+        # cluster rows by bucket before the partitioned write: without
+        # this every upstream task scatters into every bucket directory
+        # (tasks x n_buckets small files); with it each bucket is one
+        # task's contiguous output, and sorting by term within the task
+        # gives parquet row-group min/max the term locality that makes
+        # the query-side term filter skip row groups
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
     base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
 
 
 def bm25_topk_indexed(
@@ -187,16 +197,27 @@ def bm25_topk_indexed(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``bm25_topk`` against a ``bm25_write_index`` layout — identical
     scores by construction (parity pinned in tests).
 
+    ``n_buckets`` is read from the index's stats sidecar (the writer
+    records it), so a query can never hash terms with a bucket count
+    that contradicts the files; passing it explicitly only validates.
     The bucket ids of the query terms are computed with a |terms|-row
     Spark job (same xxhash64 the writer used) and embedded as LITERALS,
     so the postings scan carries a static ``PartitionFilters`` on the
     partition column — only the probed buckets' directories are read."""
     terms = _lower_terms(query_terms)
+    stats = spark.read.parquet(f"{path}/stats")
+    written_buckets = stats.select("n_buckets").first()["n_buckets"]
+    if n_buckets is not None and n_buckets != written_buckets:
+        raise ValueError(
+            f"index at {path} was written with n_buckets={written_buckets}, "
+            f"caller claims {n_buckets}"
+        )
+    n_buckets = written_buckets
     term_rows = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         r["b"]
@@ -212,10 +233,9 @@ def bm25_topk_indexed(
         .filter(F.col("term").isin(terms))
     )
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = spark.read.parquet(f"{path}/stats")
     contrib = (
         postings.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs", "sum_dl")))
         .select("doc_id", _bm25_contrib(k1, b).alias("c"))
     )
     scores = contrib.groupBy("doc_id").agg(

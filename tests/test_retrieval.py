@@ -79,8 +79,12 @@ def test_bm25_indexed_matches_brute_and_prunes(spark, tmp_path):
 
     path = str(tmp_path / "bm25_idx")
     bm25_write_index(d, path, n_buckets=16)
-    indexed = bm25_topk_indexed(spark, path, terms, k=10, n_buckets=16)
+    # n_buckets rides the index's stats sidecar: omitted -> read back,
+    # contradicting -> refused (config-drift guard)
+    indexed = bm25_topk_indexed(spark, path, terms, k=10)
     assert sorted(map(tuple, indexed.collect())) == brute
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        bm25_topk_indexed(spark, path, terms, k=10, n_buckets=8)
 
     # static partition pruning: the postings scan must carry the bucket
     # IN-list as a PartitionFilter (inputFiles() can't show this — it
@@ -99,6 +103,30 @@ def test_bm25_indexed_matches_brute_and_prunes(spark, tmp_path):
     # the IN-list literals in the filter are exactly the probed buckets
     in_part = scan_lines[0].split("bucket")[-1]
     assert all(str(b) in in_part for b in allowed), scan_lines[0]
+
+
+def test_bm25_job_cli_index_then_query(spark, tmp_path):
+    """jobs/run_bm25.py: index + query subcommands round-trip and match
+    the library brute-force scorer."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import run_bm25
+
+    d = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    docs_path = str(tmp_path / "docs")
+    d.write.mode("overwrite").parquet(docs_path)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "res")
+
+    run_bm25.main(["index", "--corpus", docs_path, "--index", idx,
+                   "--n-buckets", "8"])
+    run_bm25.main(["query", "--index", idx, "--terms", "cat, dog",
+                   "--output", out, "--k", "3"])
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    exp = sorted(map(tuple, bm25_topk(d, ["cat", "dog"], k=3).collect()))
+    assert got == exp
 
 
 def test_bm25_deterministic_under_repartition(spark):
