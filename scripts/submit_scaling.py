@@ -55,8 +55,14 @@ def build_zip(tmp: Path) -> Path:
 
 
 def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
-            tag: str) -> float:
-    """One fresh-JVM spark-submit; returns the job's internal elapsed_s."""
+            tag: str, retries: int = 1) -> float:
+    """One fresh-JVM spark-submit; returns the job's internal elapsed_s.
+
+    A failed submit is retried ``retries`` times: long-GC pauses on this
+    box occasionally reset the JVM<->python-worker socket mid-stream
+    (observed once at local[2] x 16M turns; the identical command
+    succeeded on re-run), and one transient crash must not abort an
+    hour-long interleaved measurement."""
     out = tmp / f"out_{tag}"
     ck = tmp / f"ck_{tag}"
     for p in (out, ck):
@@ -90,6 +96,11 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
     )
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
+        if retries > 0:
+            sys.stderr.write(
+                f"retrying spark-submit local[{cpus}] ({retries} left)\n"
+            )
+            return one_run(cpus, zip_path, input_path, tmp, tag, retries - 1)
         raise SystemExit(f"spark-submit local[{cpus}] failed")
     # the job prints one elapsed_s per rep; rep 1 pays one-time JVM
     # codegen + python-worker spawn (core-count-independent, so folding
@@ -164,8 +175,11 @@ def main() -> None:
         line = json.dumps(result)
         print(line)
         if "--record" in sys.argv:
+            # append (JSONL): runs at different inputs/pairs accumulate
+            # instead of the latest overwriting the others
             rec = REPO / "BENCH" / "submit_scaling.json"
-            rec.write_text(line + "\n")
+            with rec.open("a") as f:
+                f.write(line + "\n")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
