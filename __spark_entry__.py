@@ -1139,11 +1139,21 @@ FROM hits
 
 
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup OUTPUT mapping: removed doc -> kept (min-id) survivor."""
+    """Exact-dedup OUTPUT mapping: removed doc -> kept (min-id) survivor.
+
+    The synthetic documents table carries no exact duplicates, which made
+    this gate row vacuously green (0 = 0 rows since round 3).  The query
+    now re-injects every ``doc_id % 50 == 0`` document under a shifted id
+    (derived deterministically FROM the table — no external data), so the
+    keep-min survivor rule is actually exercised: each injected copy must
+    map back to its lower-id original."""
     from quake3_log_analyser_spark.operators.dedup import dedup_survivors
 
-    docs = _table(spark, sf_dir, "documents")
-    return dedup_survivors(docs)
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup_survivors(docs.unionByName(dups))
 
 
 _ORACLE_DEDUP_SURVIVORS = r"""
@@ -1153,6 +1163,24 @@ WITH keyed AS (
 ),
 keep AS (SELECT fp, MIN(doc_id) AS kept_doc_id FROM keyed GROUP BY fp)
 SELECT k.doc_id, p.kept_doc_id
+FROM keyed k JOIN keep p ON k.fp = p.fp
+WHERE k.doc_id != p.kept_doc_id
+"""
+
+
+_ORACLE_DEDUP_SURVIVORS_AUG = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+keyed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM aug
+),
+keep AS (SELECT fp, MIN(doc_id) AS kept_doc_id FROM keyed GROUP BY fp)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       CAST(p.kept_doc_id AS BIGINT) AS kept_doc_id
 FROM keyed k JOIN keep p ON k.fp = p.fp
 WHERE k.doc_id != p.kept_doc_id
 """
@@ -2037,7 +2065,7 @@ _EXTRA_ORACLES = {
     "simhash_pairs": _ORACLE_SIMHASH,
     "quality_scores": _ORACLE_QUALITY,
     "lang_guess": _ORACLE_LANG_GUESS,
-    "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
+    "dedup_survivors": _ORACLE_DEDUP_SURVIVORS_AUG,
     "embedding_pairs": _ORACLE_EMBEDDING_PAIRS,
     "lsh_near_dups": _lsh_near_dups_oracle_sql(),
     "lsh_topk": _lsh_topk_oracle_sql(),

@@ -129,6 +129,20 @@ def test_bm25_job_cli_index_then_query(spark, tmp_path):
     assert got == exp
 
 
+def test_bm25_topk_is_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition top-k merged on the driver), never a single-partition
+    global sort of the scored set."""
+    d = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    plan = (
+        bm25_topk(d, ["cat", "dog"], k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_bm25_deterministic_under_repartition(spark):
     d = spark.createDataFrame(
         [(i, f"a{i % 11} b{i % 13} shared") for i in range(300)],
