@@ -781,17 +781,37 @@ FROM documents
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate groups (hash-groupBy on the fingerprint)."""
+    """Exact-duplicate groups (hash-groupBy on the fingerprint).
+
+    Like ★dedup_survivors, the synthetic table has no exact duplicates,
+    so the row was vacuously green (0 = 0).  Deterministic duplicates
+    are re-injected from the table itself (every doc_id % 50 == 0 doc,
+    twice — so group sizes reach 3) to exercise the grouping and count."""
     from quake3_log_analyser_spark.operators.dedup import exact_duplicates
 
-    docs = _table(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select("fp", "n_docs")
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") % 50 == 0)
+    aug = docs.unionByName(
+        extra.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        extra.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    return exact_duplicates(aug).select("fp", "n_docs")
 
 
 _ORACLE_DEDUP_EXACT = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 100 = 0
+)
 SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-       COUNT(*) AS n_docs
-FROM documents
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM aug
 GROUP BY 1 HAVING COUNT(*) > 1
 """
 
