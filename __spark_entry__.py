@@ -1940,6 +1940,38 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(["hash", "join", "stream"], k=10)
 
 
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split
+    (operators.corpus.hash_split): assignment is a pure function of
+    (seed, doc_id) via md5 hash ranges — same row, same split, on every
+    run/partitioning/resume; reproduced exactly in SQL."""
+    from quake3_log_analyser_spark.operators.corpus import hash_split
+
+    docs = _table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def _hash_split_oracle() -> str:
+    t_train = int(round(0.8 * 16**8))
+    t_val = int(round(0.9 * 16**8))
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS draw
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN draw < {t_train} THEN 'train'
+            WHEN draw < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
 def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency vocabulary (operators.corpus.build_vocab): top-100
     whitespace tokens by count, ties broken by token string — the
@@ -2022,6 +2054,7 @@ FROM tok t LEFT JOIN s USING (doc_id)
 _EXTRA_QUERIES = {
     "duplicated_spans": _q_duplicated_spans,
     "build_vocab": _q_build_vocab,
+    "hash_split": _q_hash_split,
     "bm25_topk": _q_bm25_topk,
     "classifier_score": _q_classifier_score,
     "lm_scores": _q_lm_scores,
@@ -2059,6 +2092,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "duplicated_spans": _ORACLE_DUP_SPANS,
     "build_vocab": _ORACLE_BUILD_VOCAB,
+    "hash_split": _hash_split_oracle(),
     "bm25_topk": _bm25_oracle(),
     "classifier_score": _ORACLE_CLASSIFIER,
     "lm_scores": _ORACLE_LM_SCORES,

@@ -58,6 +58,51 @@ def hash_sample(
     return df.filter(_hash_hex(key_col, seed) < F.lit(threshold))
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: add ``out_col`` naming the
+    split whose cumulative weight range the key's hash draw falls in.
+
+    The leakage-safety property: assignment is a pure function of
+    ``(seed, key)``, so (a) the same row lands in the same split on every
+    run, partitioning, and resume, and (b) keying on a GROUP column
+    (conv_id, domain, user) puts every row of the group in the same split
+    — the standard guard against near-duplicate rows of one source
+    straddling train and eval.  ``weights`` is an ordered mapping
+    (insertion order defines the cumulative ranges) summing to 1; the
+    last split absorbs the rounding remainder so every row is assigned.
+
+    One projection, no shuffle, full codegen; exactly reproducible in SQL
+    (the draw is the first 8 md5 hex chars as an integer, compared
+    against precomputed integer thresholds).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for name, w in weights.items():
+        if w <= 0.0:
+            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    draw = F.conv(_hash_hex(key_col, seed), 16, 10).cast("long")
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = draw < F.lit(int(round(cum * 16**8)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -1541,3 +1541,54 @@ def test_duplicated_spans_hash_modes_agree(spark):
         for r in duplicated_spans(d, n=8, gram_hash="md5").collect()
     )
     assert fast == md5 and len(fast) == 2
+
+
+def test_hash_split_assignment_and_leakage_safety(spark):
+    from quake3_log_analyser_spark.operators.corpus import hash_split
+
+    d = spark.createDataFrame(
+        [(i, f"conv{i % 40}", f"doc {i}") for i in range(2000)],
+        "doc_id int, conv_id string, text string",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(d, w).collect()
+    # every row assigned exactly one split; proportions near the weights
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= set(w) and sum(counts.values()) == 2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+    # determinism: identical assignment under a different partitioning
+    again = {
+        r["doc_id"]: r["split"] for r in hash_split(d.repartition(13), w).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in out} == again
+
+    # leakage safety: keying on the GROUP column puts every row of a
+    # conversation in the same split
+    by_conv = hash_split(d, w, key_col="conv_id").collect()
+    per_conv = {}
+    for r in by_conv:
+        per_conv.setdefault(r["conv_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_conv.values())
+
+    # different seeds re-deal the assignment
+    reseeded = {
+        r["doc_id"]: r["split"] for r in hash_split(d, w, seed=7).collect()
+    }
+    assert reseeded != {r["doc_id"]: r["split"] for r in out}
+
+
+def test_hash_split_validation(spark):
+    from quake3_log_analyser_spark.operators.corpus import hash_split
+
+    d = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError, match="> 0"):
+        hash_split(d, {"train": 1.1, "test": -0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(d, {})
+    # single split: everything lands there (degenerate but legal)
+    assert {r["split"] for r in hash_split(d, {"all": 1.0}).collect()} == {"all"}
