@@ -80,6 +80,16 @@ def main(argv: list[str] | None = None) -> None:
                     help="word n-gram size for decontamination")
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--max-dup-line-ratio", type=float, default=0.3)
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="sample stage: uniform deterministic hash-sample "
+                         "rate in [0, 1]")
+    ap.add_argument("--mixture", default=None,
+                    help="sample stage: per-source rates, e.g. "
+                         "'commoncrawl=0.3,books=1.0' (mutually exclusive "
+                         "with --sample-rate)")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--default-rate", type=float, default=0.0,
+                    help="rate for sources absent from --mixture")
     ap.add_argument("--chunk-tokens", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--bin-tokens", type=int, default=2048)
@@ -123,6 +133,18 @@ def main(argv: list[str] | None = None) -> None:
         decontam_n=args.decontam_n,
         decontam_min_hits=args.decontam_min_hits,
         max_dup_line_ratio=args.max_dup_line_ratio,
+        sample_rate=args.sample_rate,
+        mixture_weights=(
+            {
+                kv.split("=", 1)[0]: float(kv.split("=", 1)[1])
+                for kv in args.mixture.split(",")
+                if kv
+            }
+            if args.mixture
+            else None
+        ),
+        source_col=args.source_col,
+        default_rate=args.default_rate,
         chunk_tokens=args.chunk_tokens, overlap=args.overlap,
         bin_tokens=args.bin_tokens, n_shards=args.n_shards,
         seed=args.seed,

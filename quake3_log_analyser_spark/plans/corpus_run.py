@@ -83,6 +83,7 @@ STAGES = (
     "decontaminate",
     "repetition_gate",
     "neardup",
+    "sample",
     "chunk",
     "pack",
 )
@@ -98,6 +99,7 @@ _STAGE_DIRS = {
     "decontaminate": "decontaminated",
     "repetition_gate": "repetition_gated",
     "neardup": "cleaned",
+    "sample": "sampled",
     "chunk": "chunks",
     "pack": "packed",
 }
@@ -177,6 +179,10 @@ def run_corpus_resumable(
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
     max_dup_line_ratio: float = 0.3,
+    sample_rate: float | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    default_rate: float = 0.0,
     chunk_tokens: int = 128,
     overlap: int = 16,
     bin_tokens: int = 2048,
@@ -198,7 +204,12 @@ def run_corpus_resumable(
     ``ops`` menu or changed tunables raises (marker rows).
     """
     from ..functions.text import lang_guess, quality_score, redact_pii
-    from ..operators.corpus import contaminated_docs, repetition_stats
+    from ..operators.corpus import (
+        contaminated_docs,
+        hash_sample,
+        mixture_sample,
+        repetition_stats,
+    )
     from ..operators.lm import lm_gate, train_char_lm
     from ..operators.corpus import classifier_score
     from ..operators.dedup import (
@@ -227,6 +238,12 @@ def run_corpus_resumable(
         raise ValueError(
             "classifier_gate stage needs classifier_weights_path"
         )
+    if "sample" in selected:
+        if (sample_rate is None) == (mixture_weights is None):
+            raise ValueError(
+                "sample stage needs exactly one of sample_rate (uniform "
+                "hash sampling) or mixture_weights (per-source rates)"
+            )
 
     ops_marker = "ops=" + ",".join(selected)
     params_marker = _params_marker(
@@ -251,6 +268,14 @@ def run_corpus_resumable(
             "decontam_n": decontam_n,
             "decontam_min_hits": decontam_min_hits,
             "max_dup_line_ratio": max_dup_line_ratio,
+            "sample_rate": sample_rate,
+            "mixture_weights": (
+                tuple(sorted(mixture_weights.items()))
+                if mixture_weights is not None
+                else None
+            ),
+            "source_col": source_col,
+            "default_rate": default_rate,
             "chunk_tokens": chunk_tokens,
             "overlap": overlap,
             "bin_tokens": bin_tokens,
@@ -356,6 +381,23 @@ def run_corpus_resumable(
             else:
                 dropped = near.select(F.col("doc_b").alias(id_col)).distinct()
             return inp.join(dropped, id_col, "left_anti")
+        if stage == "sample":
+            # deterministic membership (pure function of (seed, key)) is
+            # what makes this stage safe under the write-ahead resume:
+            # a re-run keeps exactly the same rows
+            if mixture_weights is not None:
+                if source_col not in inp.columns:
+                    raise ValueError(
+                        f"mixture sampling needs column {source_col!r}, "
+                        f"which an earlier stage's projection dropped "
+                        f"(have {inp.columns}); use a menu whose stages "
+                        "carry it, or uniform sample_rate"
+                    )
+                return mixture_sample(
+                    inp, mixture_weights, source_col=source_col,
+                    key_col=id_col, seed=seed, default_rate=default_rate,
+                )
+            return hash_sample(inp, sample_rate, key_col=id_col, seed=seed)
         if stage == "chunk":
             return chunk_documents(
                 inp, chunk_tokens, overlap, id_col, text_col

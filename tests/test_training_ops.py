@@ -1592,3 +1592,58 @@ def test_hash_split_validation(spark):
         hash_split(d, {})
     # single split: everything lands there (degenerate but legal)
     assert {r["split"] for r in hash_split(d, {"all": 1.0}).collect()} == {"all"}
+
+
+def test_corpus_job_sample_stage(spark, docs, tmp_path):
+    """The sample stage: uniform hash_sample parity with the library call,
+    deterministic under resume; mixture path guards on the source column
+    and the menu validation requires exactly one sampling mode."""
+    from quake3_log_analyser_spark.operators.corpus import hash_sample
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="s1",
+        ops=("dedup", "sample"), sample_rate=0.5,
+    )
+    sampled = spark.read.parquet(f"{out}/sampled")
+    deduped = spark.read.parquet(f"{out}/deduped")
+    lib = hash_sample(deduped, 0.5)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
+        r["doc_id"] for r in lib.collect()
+    )
+    assert 0 < sampled.count() < deduped.count()
+    # idempotent resume: everything committed -> no-op
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="s2",
+        ops=("dedup", "sample"), sample_rate=0.5,
+    ) == []
+
+    # mixture over the docs fixture (has a source column): per-source rates
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    run_corpus_resumable(
+        spark, docs, out2, ckpt2, run_id="s3",
+        ops=("sample",), mixture_weights={srcs[0]: 1.0},
+    )
+    mixed = spark.read.parquet(f"{out2}/sampled")
+    assert {r["source"] for r in mixed.collect()} == {srcs[0]}
+
+    # gate's projection drops source -> mixture after gate must refuse
+    with pytest.raises(ValueError, match="projection dropped"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "out3"), str(tmp_path / "ckpt3"),
+            run_id="s4", ops=("gate", "sample"), mixture_weights={"x": 1.0},
+        )
+    # exactly one of sample_rate / mixture_weights
+    with pytest.raises(ValueError, match="exactly one"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "out4"), str(tmp_path / "ckpt4"),
+            run_id="s5", ops=("sample",),
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "out5"), str(tmp_path / "ckpt5"),
+            run_id="s6", ops=("sample",), sample_rate=0.5,
+            mixture_weights={"x": 1.0},
+        )
