@@ -154,26 +154,27 @@ def jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """``(doc_id, grams)`` — the distinct word-``n``-gram set per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+
+
 def _banded_minhash(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int,
+    shingled: DataFrame,
     n_hashes: int,
     bands: int,
 ) -> DataFrame:
-    """``(doc_id, grams, band, bucket)`` — one row per document per band.
-    Shared by the within-corpus (``minhash_lsh_pairs``) and cross-corpus
+    """``(doc_id, band, bucket)`` — one SLIM row per document per band (a
+    few dozen bytes: no gram payload rides the candidate join).  Shared by
+    the within-corpus (``minhash_lsh_pairs``) and cross-corpus
     (``neardup_against``) paths so both sides of a cross join are banded
     with the SAME seeds and the same slice-string bucket keys."""
     rows = n_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
     sig = shingled.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
     return sig.select(
         "doc_id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -191,7 +192,39 @@ def _banded_minhash(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "grams", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _verify_jaccard(
+    cand_ids: DataFrame,
+    shingled: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of slim candidate pairs: join the gram
+    sets back by doc id (two hash joins keyed on the pair endpoints —
+    shuffle volume O(pairs x gram_bytes), the part that actually needs the
+    payload) and filter on the true Jaccard."""
+    ga = shingled.select(
+        F.col("doc_id").alias(a_col), F.col("grams").alias("grams_a")
+    )
+    gb = shingled.select(
+        F.col("doc_id").alias(b_col), F.col("grams").alias("grams_b")
+    )
+    return (
+        cand_ids.join(ga, a_col)
+        .join(gb, b_col)
+        .select(
+            a_col,
+            b_col,
+            (
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs(
@@ -210,6 +243,18 @@ def minhash_lsh_pairs(
     final Jaccard check removes false positives.  This is the strategy that
     scales: no pairwise work outside shared buckets.
 
+    Join shape (round-6): the band join carries ONLY ``(doc_id, band,
+    bucket)`` — shuffle volume O(corpus x bands) in id-sized rows — and
+    the gram arrays join back onto the DEDUPLICATED candidate pairs for
+    the exact verify, O(pairs x gram_bytes).  The round-5 form kept each
+    doc's full gram array on every banded row through the candidate join,
+    making the dominant shuffle O(corpus x bands x gram_bytes) — payload
+    only the verify step needs.  The trade is recomputing the shingle
+    expression for the two verify joins (a scan-side projection, cheap)
+    against shuffling it bands(x2) times (the 100 TB cost).  Measured at
+    the 400k-doc bench scale: see bench.py ``lsh_pairs_slim`` vs
+    ``lsh_pairs_carry``.
+
     The band bucket key is the band's signature values joined as a string
     (NOT a re-hash of the slice): buckets collide exactly when the slices
     are equal, which makes the whole pipeline reproducible in the DuckDB
@@ -219,7 +264,65 @@ def minhash_lsh_pairs(
     ever dominates (the only effect is extra candidates that the exact
     verify removes).
     """
-    banded = _banded_minhash(df, text_col, id_col, n, n_hashes, bands)
+    sh = _shingled(df, text_col, id_col, n)
+    banded = _banded_minhash(sh, n_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard(cand_ids, sh, "doc_a", "doc_b", threshold)
+
+
+def minhash_lsh_pairs_carry(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The round-5 gram-carrying LSH form, kept as the bench comparison
+    twin of ``minhash_lsh_pairs``: every banded row carries the doc's full
+    gram array through the candidate join, so the verify needs no
+    join-back — fewer joins, but shuffle volume O(corpus x bands x
+    gram_bytes).  Identical output to ``minhash_lsh_pairs`` by
+    construction (pinned in tests).  Prefer the slim form everywhere; this
+    one can win only when gram arrays are tiny and pairs are dense."""
+    rows = n_hashes // bands
+    sh = _shingled(df, text_col, id_col, n)
+    sig = sh.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
+    banded = sig.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", bi * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "grams", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -291,11 +394,16 @@ def neardup_against(
     are signed with the SAME seeds, candidates are generated only inside
     shared band buckets (no all-pairs across corpora), and the exact
     Jaccard verify removes false candidates.  The join key is
-    (band, bucket), hash-partitioned; neither side is broadcast.
+    (band, bucket), hash-partitioned; neither side is broadcast.  Same
+    slim shape as ``minhash_lsh_pairs``: the band join carries ids only,
+    and each side's gram sets join back onto the deduplicated candidate
+    pairs for the verify.
     """
-    a = _banded_minhash(new_docs, text_col, id_col, n, n_hashes, bands).alias("a")
-    b = _banded_minhash(reference, text_col, id_col, n, n_hashes, bands).alias("b")
-    cands = (
+    sh_a = _shingled(new_docs, text_col, id_col, n)
+    sh_b = _shingled(reference, text_col, id_col, n)
+    a = _banded_minhash(sh_a, n_hashes, bands).alias("a")
+    b = _banded_minhash(sh_b, n_hashes, bands).alias("b")
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -304,20 +412,42 @@ def neardup_against(
         .select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("b.doc_id").alias("ref_doc_id"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
         )
         .dropDuplicates(["doc_id", "ref_doc_id"])
     )
-    verified = cands.select(
-        "doc_id",
-        "ref_doc_id",
-        (
-            F.size(F.array_intersect("grams_a", "grams_b"))
-            / F.size(F.array_union("grams_a", "grams_b"))
-        ).alias("jaccard"),
+    ga = sh_a.select(F.col("doc_id"), F.col("grams").alias("grams_a"))
+    gb = sh_b.select(
+        F.col("doc_id").alias("ref_doc_id"), F.col("grams").alias("grams_b")
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    return (
+        cand_ids.join(ga, "doc_id")
+        .join(gb, "ref_doc_id")
+        .select(
+            "doc_id",
+            "ref_doc_id",
+            (
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'ed frame's storage
+    blocks.  ``Dataset.unpersist`` only touches cache-manager entries,
+    not the RDD a localCheckpoint materialized, so without an explicit
+    release an iterative algorithm accumulates every round's blocks in
+    executor storage until driver GC + ContextCleaner get around to them.
+    Reaches into the checkpointed plan's ``LogicalRDD`` (classic-mode
+    internals); where unavailable the reference is simply dropped and the
+    ContextCleaner reclaims the blocks on GC — correctness is unaffected
+    either way."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -394,8 +524,13 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the prior round's checkpointed labels are dead once the changed
+        # count (the last reader) is computed — release their storage
+        # blocks so a max_rounds-deep run holds TWO label frames, not 50
+        _unpersist_local_checkpoint(labels)
         labels = jumped
         if changed == 0:
+            _unpersist_local_checkpoint(edges)
             return labels
     raise ValueError(
         f"connected_components did not converge in {max_rounds} rounds — "
