@@ -7,7 +7,7 @@
         --checkpoint <checkpoint table path> \
         --run-id corpus-2024-06-01 [--resume] [--verbose] \
         [--ops dedup,span_dedup,gate,lm_gate,classifier_gate,pii,\
-               decontaminate,repetition_gate,neardup,chunk,pack] \
+               decontaminate,repetition_gate,neardup,sample,chunk,pack] \
         [--benchmark <eval-set parquet path>] \
         [--min-quality 0.45] [--langs en] [--salts 8] \
         [--lm-min-avg-logp -7.0] [--lm-ref <reference-corpus parquet path>]
@@ -15,7 +15,8 @@
 Runs the selected corpus stages (exact dedup, quality/language gate,
 trigram-LM perplexity gate, PII
 redaction, benchmark decontamination, repetition gating, MinHash-LSH
-near-dup removal, chunking, sequence packing — the full op menu of
+near-dup removal, deterministic sampling, chunking, sequence packing —
+the full op menu of
 plans/corpus_run.py, mirroring the reference CLI's operation menu,
 app/src/main.rs:86-97) with stage-level checkpoint/resume and per-stage
 lineage + row metrics — the same observability the match pipeline's
@@ -47,7 +48,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated stage menu (canonical order "
                          "enforced): dedup,span_dedup,gate,lm_gate,"
                          "classifier_gate,pii,decontaminate,"
-                         "repetition_gate,neardup,chunk,pack")
+                         "repetition_gate,neardup,sample,chunk,pack")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet path (required by decontaminate)")
     ap.add_argument("--min-quality", type=float, default=0.45)
@@ -62,7 +63,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--span-min-docs", type=int, default=2,
                     help="span_dedup: min distinct docs sharing a window")
     ap.add_argument("--classifier-weights", default=None,
-                    help="(bucket, weight) parquet for classifier_gate")
+                    help="(bucket, weight) parquet for classifier_gate "
+                         "(mutually exclusive with --classifier-train)")
+    ap.add_argument("--classifier-train", default=None,
+                    help="labeled docs parquet to TRAIN the classifier "
+                         "gate on in-Spark (train_classifier; mutually "
+                         "exclusive with --classifier-weights)")
+    ap.add_argument("--classifier-label-col", default="label")
+    ap.add_argument("--classifier-epochs", type=int, default=3)
+    ap.add_argument("--classifier-lr", type=float, default=1.0)
     ap.add_argument("--classifier-min-score", type=float, default=0.5)
     ap.add_argument("--classifier-buckets", type=int, default=1 << 18)
     ap.add_argument("--classifier-ngram", type=int, default=1)
@@ -122,6 +131,10 @@ def main(argv: list[str] | None = None) -> None:
         span_n=args.span_n,
         span_min_docs=args.span_min_docs,
         classifier_weights_path=args.classifier_weights,
+        classifier_train_path=args.classifier_train,
+        classifier_label_col=args.classifier_label_col,
+        classifier_epochs=args.classifier_epochs,
+        classifier_lr=args.classifier_lr,
         classifier_min_score=args.classifier_min_score,
         classifier_n_buckets=args.classifier_buckets,
         classifier_ngram=args.classifier_ngram,

@@ -63,18 +63,39 @@ def vocab_token_count(text: Column, vocab, unk_is_char: bool = True) -> Column:
     This is the pluggable hook that lets packing/chunking budgets reflect
     an actual tokenizer instead of the ``bpe_ish_token_count`` proxy:
     pass the model's merge/piece table as ``vocab``.  Arrow-batched
-    pandas UDF — the vocab rides the task closure once and is cached by
-    executor-side Python worker reuse (for a 100k-piece production vocab,
-    materialize it with ``spark.sparkContext.broadcast`` and pass
-    ``bcast.value`` here so it ships once per executor, not per task).
-    NULL text counts 0.
+    pandas UDF.  ``vocab`` may be a plain iterable of pieces (fine for
+    toy vocabs — it rides the task closure) or a
+    ``pyspark.Broadcast`` of one — the scale-safe default for a
+    100k-piece production vocab: the UDF closure captures only the
+    broadcast handle, the piece set ships ONCE per executor and is
+    rebuilt once per Python worker (memoized), never serialized per
+    task.  NULL text counts 0.
     """
-    pieces = frozenset(vocab)
-    if not pieces:
-        raise ValueError("vocab_token_count needs a non-empty vocab")
-    max_len = max(len(p) for p in pieces)
+    from pyspark.broadcast import Broadcast
 
-    def _count_word(word: str) -> int:
+    if isinstance(vocab, Broadcast):
+        # validate on the driver (Broadcast.value works driver-side) but
+        # capture only the HANDLE in the UDF closure — capturing the
+        # materialized set would re-serialize it into every task
+        if not frozenset(vocab.value):
+            raise ValueError("vocab_token_count needs a non-empty vocab")
+    else:
+        vocab = frozenset(vocab)
+        if not vocab:
+            raise ValueError("vocab_token_count needs a non-empty vocab")
+
+    _state: dict = {}
+
+    def _resolve() -> tuple[frozenset, int]:
+        # once per Python worker process (workers are reused across tasks)
+        if not _state:
+            src = vocab.value if isinstance(vocab, Broadcast) else vocab
+            pieces = frozenset(src)
+            _state["pieces"] = pieces
+            _state["max_len"] = max(len(p) for p in pieces)
+        return _state["pieces"], _state["max_len"]
+
+    def _count_word(word: str, pieces: frozenset, max_len: int) -> int:
         i, n, c = 0, len(word), 0
         while i < n:
             for ln in range(min(max_len, n - i), 0, -1):
@@ -84,10 +105,10 @@ def vocab_token_count(text: Column, vocab, unk_is_char: bool = True) -> Column:
                     break
             else:
                 c += 1
-                i += 1 if unk_is_char else _unk_run(word, i)
+                i += 1 if unk_is_char else _unk_run(word, i, pieces, max_len)
         return c
 
-    def _unk_run(word: str, i: int) -> int:
+    def _unk_run(word: str, i: int, pieces: frozenset, max_len: int) -> int:
         j = i
         n = len(word)
         while j < n and not any(
@@ -98,9 +119,12 @@ def vocab_token_count(text: Column, vocab, unk_is_char: bool = True) -> Column:
 
     @F.pandas_udf("long")
     def _vocab_count(texts: pd.Series) -> pd.Series:
+        pieces, max_len = _resolve()
         return pd.Series(
             [
-                sum(_count_word(w) for w in t.split()) if t else 0
+                sum(_count_word(w, pieces, max_len) for w in t.split())
+                if t
+                else 0
                 for t in texts.fillna("")
             ],
             dtype="int64",

@@ -397,6 +397,166 @@ def classifier_score(
     )
 
 
+def train_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = 1 << 18,
+    n: int = 1,
+    epochs: int = 3,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """In-Spark trainer for the ``classifier_score`` gate: deterministic
+    full-batch logistic regression over the hashed bag-of-n-grams mean
+    features — the missing half of the fastText-style quality classifier
+    (CCNet §4.2 trains its gate against Wikipedia positives; a corpus
+    build must be able to train ON the corpus, not only consume offline
+    weights).  No reference-repo counterpart; LLM-pipeline extension.
+
+    Model and features EXACTLY match the scorer: a doc's margin is
+    ``mean(weight[bucket])`` over its gram multiset (``sum(w_b * cnt_b) /
+    n_grams``), so the returned ``(bucket, weight)`` table plugs straight
+    into ``classifier_score`` with the same ``n_buckets``/``n``.
+
+    Determinism discipline (the ``operators.lm`` / BM25 micro-unit rule):
+    weights live in integer MICRO-units; every per-doc margin, per-doc
+    error, per-(doc,bucket) gradient contribution and per-epoch update is
+    rounded to an integer BEFORE summation, so epoch state is exact under
+    any partitioning/add order and a SQL twin replays the identical
+    updates (the driver's ★classifier_train oracle unrolls the epochs as
+    CTEs).  Update rule per epoch::
+
+        margin_micro(d) = round(sum_b(w_micro[b] * cnt[d,b]) / n_grams(d))
+        err_micro(d)    = round((label(d) - sigmoid(margin_micro/1e6)) * 1e6)
+        grad_micro(b)   = sum_d round(err_micro(d) * cnt[d,b] / n_grams(d))
+        w_micro[b]     += round(lr * grad_micro(b) / n_docs)
+
+    Scale shape per epoch: ONE broadcast join of the (bounded, <=
+    ``n_buckets``-row) weight table against the cached feature frame, one
+    per-doc hash-agg, one per-bucket hash-agg — the same cost class as
+    ``lm.train_char_lm`` per epoch, ``epochs`` is a small constant.  The
+    feature frame is persisted once (it is read ``epochs`` times); each
+    epoch's weight table is localCheckpoint'ed so the plan does not grow
+    exponentially with epochs.  Docs with zero grams carry no features
+    and are excluded from training (they cannot move any weight).
+
+    Returns ``(bucket, w_micro, weight)`` — ``weight = w_micro / 1e6``
+    is what ``classifier_score`` consumes.
+    """
+    from ..functions.text import hash60, positional_word_ngrams
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("double").alias("label"),
+        F.col(text_col).alias("_text"),
+    )
+    cnts = (
+        base.select(
+            "doc_id",
+            F.explode(positional_word_ngrams(F.col("_text"), n)).alias("g"),
+        )
+        .select(
+            "doc_id", F.pmod(hash60(F.col("g.gram")), F.lit(n_buckets)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ngrams = cnts.groupBy("doc_id").agg(F.sum("cnt").alias("n_grams"))
+    feats = (
+        cnts.join(ngrams, "doc_id")
+        .join(base.select("doc_id", "label"), "doc_id")
+        .persist()
+    )
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        raise ValueError("train_classifier needs at least one doc with grams")
+
+    from .dedup import _unpersist_local_checkpoint
+
+    w = None  # epoch-0 weights are all zero (implicit)
+    try:
+        for _ in range(epochs):
+            if w is None:
+                margins = (
+                    feats.groupBy("doc_id")
+                    .agg(
+                        F.first("label").alias("label"),
+                        F.first("n_grams").alias("n_grams"),
+                    )
+                    .withColumn("margin_micro", F.lit(0).cast("long"))
+                )
+            else:
+                margins = (
+                    feats.join(F.broadcast(w), "bucket", "left")
+                    .groupBy("doc_id")
+                    .agg(
+                        F.first("label").alias("label"),
+                        F.first("n_grams").alias("n_grams"),
+                        F.round(
+                            F.sum(F.coalesce("w_micro", F.lit(0)) * F.col("cnt"))
+                            / F.first("n_grams")
+                        )
+                        .cast("long")
+                        .alias("margin_micro"),
+                    )
+                )
+            errs = margins.select(
+                "doc_id",
+                F.round(
+                    (
+                        F.col("label")
+                        - F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.col("margin_micro") / F.lit(1e6))))
+                    )
+                    * F.lit(1e6)
+                )
+                .cast("long")
+                .alias("err_micro"),
+            )
+            grads = (
+                feats.join(errs, "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.col("err_micro") * F.col("cnt") / F.col("n_grams")
+                        ).cast("long")
+                    ).alias("grad_micro")
+                )
+            )
+            # every bucket with any feature appears in grads, so the new
+            # weight table is grads-sided: prior weights fold in by join
+            if w is None:
+                stepped = grads.select(
+                    "bucket",
+                    F.round(F.lit(lr) * F.col("grad_micro") / F.lit(n_docs))
+                    .cast("long")
+                    .alias("w_micro"),
+                )
+            else:
+                stepped = grads.join(w, "bucket", "left").select(
+                    "bucket",
+                    (
+                        F.coalesce("w_micro", F.lit(0))
+                        + F.round(F.lit(lr) * F.col("grad_micro") / F.lit(n_docs))
+                        .cast("long")
+                    ).alias("w_micro"),
+                )
+            new_w = stepped.localCheckpoint(eager=True)
+            if w is not None:
+                _unpersist_local_checkpoint(w)
+            w = new_w
+    finally:
+        feats.unpersist()
+    return w.select(
+        "bucket", "w_micro", (F.col("w_micro") / F.lit(1e6)).alias("weight")
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     size: int = 32768,
@@ -411,11 +571,15 @@ def build_vocab(
     packing budgets reflect the corpus's own vocabulary.
 
     Spark shape: one explode (linear in tokens) -> one hash-agg on the
-    token -> global top-k.  The top-k is a single-partition sort of the
-    AGGREGATED (distinct-token) table, not the corpus: vocab candidates
-    number ~10^7 even at 10^12 tokens, and ``min_count`` prunes the
-    hapax tail before the sort.  Returns ``(token, count, rank)`` with
-    rank 1-based densely ascending (most frequent first).
+    token -> distributed top-k.  ``orderBy().limit(size)`` compiles to
+    ``TakeOrderedAndProject`` — each partition of the aggregated
+    (distinct-token, ~10^7 rows at 10^12 tokens) table keeps its own
+    top-``size`` and the driver merges, so no single task ever sorts the
+    whole candidate table (the round-5 form ranked with a global
+    ``row_number`` window, which funneled every candidate through ONE
+    task's sort).  The rank window then runs over the ``size`` survivors
+    only.  Returns ``(token, count, rank)`` with rank 1-based densely
+    ascending (most frequent first).
     """
     from pyspark.sql import Window
 
@@ -431,10 +595,6 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("count").desc(), F.col("token"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= size)
+    top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(size)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -19,14 +19,16 @@ operation menu (app/src/main.rs:86-97) and the match pipeline's ``--ops``:
                   ``lm_ref_path`` or, when None, on
                   the stage input itself)            -> ``{out}/lm_gated``
   classifier_gate hashed n-gram linear classifier
-                  (fastText-style; offline-trained
-                  weight table from
-                  ``classifier_weights_path``)       -> ``{out}/classifier_gated``
+                  (fastText-style; weight table from
+                  ``classifier_weights_path`` OR
+                  trained in-Spark on the labeled
+                  docs at ``classifier_train_path``) -> ``{out}/classifier_gated``
   pii             email/URL/IPv4 redaction in text   -> ``{out}/pii_redacted``
   decontaminate   drop docs sharing n-grams with a
                   benchmark/eval set                 -> ``{out}/decontaminated``
   repetition_gate drop docs above a dup-line ratio   -> ``{out}/repetition_gated``
   neardup         MinHash-LSH near-dup drop          -> ``{out}/cleaned``
+  sample          deterministic hash/mixture sample  -> ``{out}/sampled``
   chunk           fixed-token overlapping windows    -> ``{out}/chunks``
   pack            token-budget bin assignment        -> ``{out}/packed``
 
@@ -115,14 +117,44 @@ def _params_marker(params: dict) -> str:
     return "params=" + hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
-def _check_marker(done: set[str], marker: str, prefix: str, where: str) -> None:
-    prior = {u for u in done if u.startswith(prefix)}
-    if prior and prior != {marker}:
+def _latest_marker(
+    spark: SparkSession, checkpoint_path: str, prefix: str
+):
+    """``(marker, committed_at)`` of the MOST RECENT run that pinned this
+    prefix, or ``(None, None)``.
+
+    A ``resume=False`` re-run over an existing checkpoint is allowed to
+    change configuration (its ``overwrite`` writes supersede every stage
+    output on disk), so older markers are history, not constraints: only
+    the latest-committed marker describes the outputs a resume would read.
+    Validating against the full distinct marker set instead (the round-5
+    form) permanently disabled resume after any reconfigured fresh run —
+    the prior set then held two distinct markers and could never equal
+    the requested one.
+    """
+    try:
+        rows = (
+            spark.read.parquet(checkpoint_path)
+            .filter(F.col("unit").startswith(prefix))
+            .orderBy(F.col("committed_at").desc(), F.col("unit"))
+            .select("unit", "committed_at")
+            .limit(1)
+            .collect()
+        )
+    except Exception:
+        return None, None
+    if not rows:
+        return None, None
+    return rows[0]["unit"], rows[0]["committed_at"]
+
+
+def _check_marker(marker: str, latest: str | None, where: str) -> None:
+    if latest is not None and latest != marker:
         raise ValueError(
-            f"checkpoint {where} was committed with {sorted(prior)} but this "
-            f"run requests {marker!r}; resuming would mix configurations "
-            "across stages — use a fresh checkpoint/output or the original "
-            "configuration"
+            f"checkpoint {where} was last committed with {latest!r} but "
+            f"this run requests {marker!r}; resuming would mix "
+            "configurations across stages — use a fresh checkpoint/"
+            "output, the latest configuration, or resume=False"
         )
 
 
@@ -166,6 +198,10 @@ def run_corpus_resumable(
     span_n: int = 8,
     span_min_docs: int = 2,
     classifier_weights_path: str | None = None,
+    classifier_train_path: str | None = None,
+    classifier_label_col: str = "label",
+    classifier_epochs: int = 3,
+    classifier_lr: float = 1.0,
     classifier_min_score: float = 0.5,
     classifier_n_buckets: int = 1 << 18,
     classifier_ngram: int = 1,
@@ -200,8 +236,11 @@ def run_corpus_resumable(
     checkpoint append re-runs exactly that stage.  ``resume=False``
     processes ALL selected stages regardless of prior commits (a fresh run
     over the same checkpoint table — lineage rows still append under the
-    new run_id, stage outputs are overwritten).  Resuming under a changed
-    ``ops`` menu or changed tunables raises (marker rows).
+    new run_id, stage outputs are overwritten).  A reconfigured fresh run
+    SUPERSEDES the prior configuration: it pins new marker rows, and
+    subsequent resumes validate against (and trust stage rows from) the
+    latest pin only.  Resuming under a menu or tunables different from
+    the latest pin raises (marker rows).
     """
     from ..functions.text import lang_guess, quality_score, redact_pii
     from ..operators.corpus import (
@@ -234,9 +273,13 @@ def run_corpus_resumable(
         raise ValueError("ops selects no stages")
     if "decontaminate" in selected and benchmark_path is None:
         raise ValueError("decontaminate stage needs benchmark_path")
-    if "classifier_gate" in selected and classifier_weights_path is None:
+    if "classifier_gate" in selected and (
+        (classifier_weights_path is None) == (classifier_train_path is None)
+    ):
         raise ValueError(
-            "classifier_gate stage needs classifier_weights_path"
+            "classifier_gate stage needs exactly one of "
+            "classifier_weights_path (offline-trained weight table) or "
+            "classifier_train_path (labeled docs to train on in-Spark)"
         )
     if "sample" in selected:
         if (sample_rate is None) == (mixture_weights is None):
@@ -255,6 +298,10 @@ def run_corpus_resumable(
             "span_n": span_n,
             "span_min_docs": span_min_docs,
             "classifier_weights_path": classifier_weights_path,
+            "classifier_train_path": classifier_train_path,
+            "classifier_label_col": classifier_label_col,
+            "classifier_epochs": classifier_epochs,
+            "classifier_lr": classifier_lr,
             "classifier_min_score": classifier_min_score,
             "classifier_n_buckets": classifier_n_buckets,
             "classifier_ngram": classifier_ngram,
@@ -287,10 +334,32 @@ def run_corpus_resumable(
         }
     )
     committed = committed_units(spark, checkpoint_path)
-    done = committed if resume else set()
+    latest_ops, _ = _latest_marker(spark, checkpoint_path, "ops=")
+    latest_params, marker_ts = _latest_marker(spark, checkpoint_path, "params=")
+    # the configuration pin must be refreshed whenever the LATEST pin
+    # differs (not merely when this config never appeared in history):
+    # a config-A -> config-B -> config-A sequence of fresh runs must leave
+    # A as the latest pin, or resuming A's outputs would raise against B
+    need_pin = latest_ops != ops_marker or latest_params != params_marker
+    done: set[str] = set()
     if resume:
-        _check_marker(done, ops_marker, "ops=", checkpoint_path)
-        _check_marker(done, params_marker, "params=", checkpoint_path)
+        _check_marker(ops_marker, latest_ops, checkpoint_path)
+        _check_marker(params_marker, latest_params, checkpoint_path)
+        if marker_ts is None:
+            done = committed
+        else:
+            # only stage rows committed at/after the LATEST configuration
+            # pin count as done: a reconfigured resume=False run that
+            # crashed mid-way leaves older-config stage rows behind, and
+            # trusting them would resume over stale on-disk outputs
+            done = {
+                r["unit"]
+                for r in spark.read.parquet(checkpoint_path)
+                .filter(F.col("committed_at") >= F.lit(marker_ts))
+                .select("unit")
+                .distinct()
+                .collect()
+            }
 
     processed: list[str] = []
 
@@ -335,7 +404,27 @@ def run_corpus_resumable(
                 inp, model, lm_min_avg_logp, id_col=id_col, text_col=text_col
             )
         if stage == "classifier_gate":
-            weights = spark.read.parquet(classifier_weights_path)
+            if classifier_weights_path is not None:
+                weights = spark.read.parquet(classifier_weights_path)
+            else:
+                # in-Spark training on the labeled reference set: the
+                # trainer's epoch loop runs EAGERLY here (bounded jobs,
+                # one broadcast join + two hash-aggs per epoch) and the
+                # resulting weight table is tiny — same model/features as
+                # the scorer by construction (operators.corpus.
+                # train_classifier)
+                from ..operators.corpus import train_classifier
+
+                weights = train_classifier(
+                    spark.read.parquet(classifier_train_path),
+                    label_col=classifier_label_col,
+                    n_buckets=classifier_n_buckets,
+                    n=classifier_ngram,
+                    epochs=classifier_epochs,
+                    lr=classifier_lr,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
             keep = (
                 classifier_score(
                     inp, weights,
@@ -425,13 +514,17 @@ def run_corpus_resumable(
         if f"stage={stage}" in done:
             cur_path = path
             continue
-        if not processed and {ops_marker, params_marker} - committed:
+        if not processed and need_pin:
             # first uncommitted stage of this call: pin the configuration
-            # before any stage data commits (markers carry no metrics)
+            # before any stage data commits (markers carry no metrics).
+            # Both markers always commit TOGETHER so they share one
+            # committed_at — the timestamp that scopes which stage rows a
+            # later resume trusts.
             commit_units(
                 spark, checkpoint_path, run_id,
-                {m: {} for m in (ops_marker, params_marker) if m not in committed},
+                {ops_marker: {}, params_marker: {}},
             )
+            need_pin = False
         inp = spark.read.parquet(cur_path) if cur_path else docs
         inp, obs_in = count_obs(inp, f"corpus_{stage}_in")
         out, obs_out = count_obs(transform(stage, inp), f"corpus_{stage}_out")
