@@ -45,6 +45,17 @@ def main() -> None:
         "violations (the reference's --pedantic, app/src/main.rs:84-85)",
     )
     ap.add_argument(
+        "--files-per-sink", type=int, default=None,
+        help="cluster the routed rows by (sink, hash(conv_id) %% N) before "
+        "the partitioned write: bounds output files at sinks x N and cuts "
+        "task-commit overhead (one extra shuffle); default: direct write",
+    )
+    ap.add_argument(
+        "--skip-sinks", action="store_true",
+        help="skip the five-sink write (aggregate-only run): used by the "
+        "scaling harness to decompose compute-vs-write shares",
+    )
+    ap.add_argument(
         "--reps", type=int, default=1,
         help="run the (non-resume) pipeline this many times, printing "
         "one elapsed_s line per rep; rep 1 pays one-time JVM codegen + "
@@ -104,14 +115,21 @@ def main() -> None:
                 parse_transcripts(transcripts, pedantic=args.pedantic)
             )
             obs = None
-            if args.verbose:
+            # the issue observation rides the sink-write job; with the
+            # write skipped there is no action on this frame to fire it
+            if args.verbose and not args.skip_sinks:
                 from quake3_log_analyser_spark.plans.checkpoint import (
                     issue_counts,
                     observe_issues,
                 )
 
                 sessionized, obs = observe_issues(sessionized)
-            paths = write_sinks(sessionized, f"{args.output}/sinks")
+            paths = {}
+            if not args.skip_sinks:
+                paths = write_sinks(
+                    sessionized, f"{args.output}/sinks",
+                    files_per_sink=args.files_per_sink,
+                )
             summaries = summarize_matches(
                 transcripts, ops=ops,
                 stop_on_violations=args.stop_on_violations or args.pedantic,

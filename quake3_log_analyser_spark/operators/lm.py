@@ -78,10 +78,19 @@ def _logp_micro(tri_cnt: Column, ctx_cnt: Column, alpha: float) -> Column:
 
 
 def unk_logp_micro(alpha: float = 1.0) -> int:
-    """Floor score for a trigram absent from the model: the smoothed
+    """Score for a trigram absent from the model: the smoothed
     probability under a never-seen context, ``alpha / (alpha * V)``.
-    A plain Python constant so both the Spark plan and the SQL oracle
-    embed the same literal."""
+
+    This is an APPROXIMATION, not a lower bound: a trigram seen once
+    under a very common context scores ``ln((1+alpha) / (ctx_cnt +
+    alpha*V))``, which falls below ``ln(1/V)`` once ``ctx_cnt`` is large —
+    so a document of never-seen trigrams can outscore fluent text built
+    from rare-but-seen ones.  CCNet proper scores unseen trigrams under
+    their actual context when the context is known; this operator trades
+    that refinement for a model keyed on the trigram alone (one broadcast
+    join, and an oracle twin that embeds the same constant).  A plain
+    Python constant so both the Spark plan and the SQL oracle embed the
+    same literal."""
     return int(round(math.log(1.0 / VOCAB_SIZE) * 1e6))
 
 

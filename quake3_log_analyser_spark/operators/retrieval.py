@@ -48,11 +48,18 @@ def _lower_terms(query_terms: Sequence[str]) -> list[str]:
 
 
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w))
+    # NULL text maps to an EMPTY token array before size() is taken: with
+    # the session's default ansi=false, size(NULL) is -1 (legacy
+    # sizeOfNull), so a coalesce-after-size guard never fires and a NULL
+    # row would contribute dl=-1 to sum_dl while still counting in n_docs
+    toks = F.coalesce(
+        F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w)),
+        F.array().cast("array<string>"),
+    )
     return docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select(
         "doc_id",
         "_toks",
-        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
+        F.size("_toks").cast("long").alias("dl"),
     )
 
 
@@ -259,7 +266,8 @@ def bm25_oracle_sql(
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH tok AS (
-  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN []::VARCHAR[]
                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
   FROM {table}
 ),

@@ -55,7 +55,8 @@ def build_zip(tmp: Path) -> Path:
 
 
 def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
-            tag: str, retries: int = 1) -> float:
+            tag: str, retries: int = 1,
+            extra_job_args: list[str] | None = None) -> float:
     """One fresh-JVM spark-submit; returns the job's internal elapsed_s.
 
     A failed submit is retried ``retries`` times: long-GC pauses on this
@@ -90,7 +91,7 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
         "--ops", "kills",
         "--run-id", f"submit-{tag}",
         "--reps", "2",
-    ]
+    ] + (extra_job_args or [])
     r = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=1800,
     )
@@ -100,7 +101,10 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
             sys.stderr.write(
                 f"retrying spark-submit local[{cpus}] ({retries} left)\n"
             )
-            return one_run(cpus, zip_path, input_path, tmp, tag, retries - 1)
+            return one_run(
+                cpus, zip_path, input_path, tmp, tag, retries - 1,
+                extra_job_args,
+            )
         raise SystemExit(f"spark-submit local[{cpus}] failed")
     # the job prints one elapsed_s per rep; rep 1 pays one-time JVM
     # codegen + python-worker spawn (core-count-independent, so folding
@@ -135,6 +139,19 @@ def main() -> None:
     n4 = 4 * n
     n_turns = count_rows(input_path)
 
+    # measurement variants (judge r5 #2): --skip-sinks decomposes the
+    # compute share out of the e2e number; --files-per-sink N bounds the
+    # sink write at sinks x N files (one extra shuffle, fewer commits)
+    extra_job_args: list[str] = []
+    variant = "e2e"
+    if "--skip-sinks" in sys.argv:
+        extra_job_args.append("--skip-sinks")
+        variant = "compute_only"
+    for arg in sys.argv[1:]:
+        if arg.startswith("--files-per-sink="):
+            extra_job_args += ["--files-per-sink", arg.split("=", 1)[1]]
+            variant = f"e2e_fps{arg.split('=', 1)[1]}"
+
     # outputs + checkpoints on tmpfs: this box's VM disk (~200 MB/s,
     # shared) serializes the five-sink parquet write and would measure
     # the disk, not the pipeline — on a real cluster the sink write goes
@@ -148,8 +165,10 @@ def main() -> None:
         # is measured
         lo, hi = [], []
         for r in range(rounds):
-            lo.append(one_run(n, zip_path, input_path, tmp, f"r{r}c{n}"))
-            hi.append(one_run(n4, zip_path, input_path, tmp, f"r{r}c{n4}"))
+            lo.append(one_run(n, zip_path, input_path, tmp, f"r{r}c{n}",
+                              extra_job_args=extra_job_args))
+            hi.append(one_run(n4, zip_path, input_path, tmp, f"r{r}c{n4}",
+                              extra_job_args=extra_job_args))
             print(
                 f"round {r}: local[{n}] {lo[-1]:.2f}s  "
                 f"local[{n4}] {hi[-1]:.2f}s",
@@ -160,6 +179,7 @@ def main() -> None:
         eff = thr_hi / (4.0 * thr_lo)
         result = {
             "harness": "spark-submit --py-files pipeline.zip jobs/run_pipeline.py",
+            "variant": variant,
             "input": str(input_path),
             "n_turns": n_turns,
             "cluster_sizes": [n, n4],
