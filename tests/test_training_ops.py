@@ -1647,3 +1647,192 @@ def test_corpus_job_sample_stage(spark, docs, tmp_path):
             run_id="s6", ops=("sample",), sample_rate=0.5,
             mixture_weights={"x": 1.0},
         )
+
+
+def test_train_classifier_separates_and_is_deterministic(spark):
+    """The in-Spark trainer learns weights that make classifier_score rank
+    positives above negatives on a lexically separable toy corpus, and the
+    trained table is bit-identical under a different partitioning (the
+    integer-micro-unit discipline)."""
+    from quake3_log_analyser_spark.operators.corpus import (
+        classifier_score,
+        train_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"good clean prose sample number {i}", 1))
+        else:
+            rows.append((i, f"zzq xqv jnk garbled blob item {i}", 0))
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w = train_classifier(labeled, n_buckets=256, epochs=3, lr=1.0)
+    assert set(w.columns) == {"bucket", "w_micro", "weight"}
+    wrows = w.collect()
+    assert len(wrows) > 0
+    for r in wrows:
+        assert r["weight"] == r["w_micro"] / 1e6
+
+    scored = classifier_score(
+        labeled, w.select("bucket", "weight"), n_buckets=256, n=1
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    pos = [r["score"] for r in scored.filter("label = 1").collect()]
+    neg = [r["score"] for r in scored.filter("label = 0").collect()]
+    assert min(pos) > max(neg), (
+        f"trained gate must separate: min(pos)={min(pos)} max(neg)={max(neg)}"
+    )
+
+    # determinism across partitionings: same weights bit-for-bit
+    w2 = train_classifier(
+        labeled.repartition(7, "doc_id"), n_buckets=256, epochs=3, lr=1.0
+    )
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+    with pytest.raises(ValueError, match="epochs"):
+        train_classifier(labeled, epochs=0)
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="at least one doc"):
+        train_classifier(empty)
+
+
+def test_minhash_lsh_slim_matches_carry_form(spark, docs):
+    """The round-6 slim band join (ids only; grams join back onto the
+    deduplicated pairs) returns exactly the round-5 gram-carrying form's
+    verified pairs."""
+    from quake3_log_analyser_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_carry,
+    )
+
+    slim = sorted(
+        map(tuple, minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8,
+                                     threshold=0.6).collect())
+    )
+    carry = sorted(
+        map(tuple, minhash_lsh_pairs_carry(docs, n=1, n_hashes=16, bands=8,
+                                           threshold=0.6).collect())
+    )
+    assert slim == carry
+    assert len(slim) > 0
+
+
+def test_corpus_resume_after_reconfigured_fresh_run(spark, docs, tmp_path):
+    """A resume=False run with a CHANGED config over an existing checkpoint
+    supersedes the old pin: subsequent resume=True calls with the new
+    config are a no-op, with the OLD config they raise, and an A->B->A
+    fresh-run sequence leaves A resumable (round-5 bug: the second marker
+    pair made every resume raise forever)."""
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg_a = dict(ops=("dedup", "gate"), min_quality=0.45)
+    cfg_b = dict(ops=("dedup", "gate"), min_quality=0.30)
+
+    run_corpus_resumable(spark, docs, out, ckpt, run_id="a1", **cfg_a)
+    # reconfigured FRESH run over the same checkpoint (docstring-sanctioned)
+    run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="b1", resume=False, **cfg_b
+    )
+    # resume with the new (latest) config: everything committed -> no-op
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="b2", **cfg_b
+    ) == []
+    # resume with the superseded config must refuse
+    with pytest.raises(ValueError, match="params="):
+        run_corpus_resumable(spark, docs, out, ckpt, run_id="a2", **cfg_a)
+    # A -> B -> A: a fresh A run re-pins A as latest, so A resumes again
+    run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="a3", resume=False, **cfg_a
+    )
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="a4", **cfg_a
+    ) == []
+    with pytest.raises(ValueError, match="params="):
+        run_corpus_resumable(spark, docs, out, ckpt, run_id="b3", **cfg_b)
+
+
+def test_corpus_job_classifier_gate_trains_in_spark(spark, docs, tmp_path):
+    """classifier_gate with classifier_train_path trains the weight table
+    in-Spark (train_classifier) and gates with it; passing both or neither
+    weight source refuses."""
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    labeled = docs.select(
+        "doc_id", "text",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
+    )
+    train_path = str(tmp_path / "train")
+    labeled.write.parquet(train_path)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    done = run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="cg1",
+        ops=("classifier_gate",),
+        classifier_train_path=train_path,
+        classifier_n_buckets=256, classifier_epochs=2,
+        classifier_min_score=0.0,
+    )
+    assert done == ["stage=classifier_gate"]
+    gated = spark.read.parquet(f"{out}/classifier_gated")
+    # min_score 0.0 keeps every scored doc; the stage must round-trip rows
+    assert gated.count() == docs.count()
+
+    with pytest.raises(ValueError, match="exactly one"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "o2"), str(tmp_path / "c2"),
+            run_id="cg2", ops=("classifier_gate",),
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            run_id="cg3", ops=("classifier_gate",),
+            classifier_weights_path="x", classifier_train_path=train_path,
+        )
+
+
+def test_vocab_token_count_broadcast_handle(spark):
+    """vocab_token_count accepts a pyspark Broadcast of the vocab: the
+    scale-safe default for production vocabs — identical counts to the
+    plain-iterable form."""
+    from quake3_log_analyser_spark.functions.text import vocab_token_count
+
+    vocab = ["hel", "lo", "wor", "ld", "a"]
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a hello"), (3, None)],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", vocab_token_count(F.col("text"), vocab).alias("n")
+        ).collect()
+    }
+    bcast = spark.sparkContext.broadcast(vocab)
+    via_bcast = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", vocab_token_count(F.col("text"), bcast).alias("n")
+        ).collect()
+    }
+    assert via_bcast == plain
+    assert plain[1] == 4 and plain[3] == 0
+
+    empty = spark.sparkContext.broadcast([])
+    with pytest.raises(ValueError, match="non-empty"):
+        vocab_token_count(F.col("text"), empty)
+
+
+def test_build_vocab_plan_is_take_ordered(spark, docs):
+    """The vocab top-k must compile to TakeOrderedAndProject (distributed
+    per-partition top-k), not a single-partition global sort window."""
+    from quake3_log_analyser_spark.operators.corpus import build_vocab
+
+    v = build_vocab(docs, size=20, min_count=2)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = v.collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows[:3]] == [1, 2, 3]
+    # ranks are the (count desc, token) order, densely 1..size
+    assert sorted(r["rank"] for r in rows) == list(range(1, 21))
