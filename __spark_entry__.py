@@ -841,12 +841,44 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_ES_TAIL = " ".join(["el la de que y en un los del se"] * 4)
+_DE_TAIL = " ".join(["der die und das ist von den mit für auf"] * 4)
+_FR_TAIL = " ".join(["le la et les des un une que dans pour"] * 4)
+
+
+def _lang_augmented(doc_id):
+    """Deterministic non-English stopword tails for doc_id % 10 in
+    {1,2,3}: the sf documents are English-only, so without injection the
+    es/de/fr hit columns were ZERO for every row and lang_guess never
+    left {en, und} — the gate compared the vacuous branches.  The tails
+    (40 stopwords each) dominate any English doc's own hit count, so the
+    argmax flips to the injected language (same augmentation in the
+    DuckDB oracle)."""
+    return F.concat(
+        F.col("text"),
+        F.when(doc_id % 10 == 1, F.lit(" " + _ES_TAIL))
+        .when(doc_id % 10 == 2, F.lit(" " + _DE_TAIL))
+        .when(doc_id % 10 == 3, F.lit(" " + _FR_TAIL))
+        .otherwise(F.lit("")),
+    )
+
+
+_LANG_AUG_SQL = f"""
+  text || CASE WHEN doc_id % 10 = 1 THEN ' {_ES_TAIL}'
+               WHEN doc_id % 10 = 2 THEN ' {_DE_TAIL}'
+               WHEN doc_id % 10 = 3 THEN ' {_FR_TAIL}'
+               ELSE '' END
+"""
+
+
 def _q_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stopword hits (the lang-ID heuristic's evidence)."""
+    """Per-language stopword hits (the lang-ID heuristic's evidence).
+    Input augmented with deterministic es/de/fr tails (``_lang_augmented``)
+    so every language column is exercised, not just ``en``."""
     from quake3_log_analyser_spark.functions.text import stopword_count
 
     docs = _table(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = _lang_augmented(F.col("doc_id"))
     return docs.select(
         "doc_id",
         stopword_count(t, "en").alias("en_hits"),
@@ -856,9 +888,10 @@ def _q_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_LANG_HITS = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+_ORACLE_LANG_HITS = rf"""
+WITH aug AS (SELECT doc_id, {_LANG_AUG_SQL} AS text FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM aug
 )
 SELECT doc_id,
   len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT AS en_hits,
@@ -1025,12 +1058,17 @@ def _q_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.6)
+    # threshold 0.7 (round-6): at 0.6 the sf0.01 pair graph is ONE giant
+    # component (463 nodes) — convergence exercised, but the multi-
+    # component branch (distinct clusters keep distinct survivors) never
+    # fired; 0.7 gives 7 components / 406 dropped docs, so both branches
+    # are live (pinned in tests/test_entry_nonvacuous.py)
+    pairs = minhash_lsh_pairs(docs, n=1, n_hashes=16, bands=8, threshold=0.7)
     return neardup_survivors_cc(pairs)
 
 
 def _cc_survivors_oracle_sql() -> str:
-    mh = _minhash_oracle_sql(n_hashes=16, bands=8, threshold=0.6)
+    mh = _minhash_oracle_sql(n_hashes=16, bands=8, threshold=0.7)
     return f"""
 WITH RECURSIVE pairs AS ({mh}),
 edges AS (
@@ -1129,16 +1167,21 @@ FROM t
 
 
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (argmax of per-language stopword hits)."""
+    """Language-ID heuristic (argmax of per-language stopword hits).
+    Input augmented with deterministic es/de/fr tails (``_lang_augmented``)
+    so the guess actually leaves {en, und} on a slice of the gate rows."""
     from quake3_log_analyser_spark.functions.text import lang_guess
 
     docs = _table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+    return docs.select(
+        "doc_id", lang_guess(_lang_augmented(F.col("doc_id"))).alias("lang_guess")
+    )
 
 
-_ORACLE_LANG_GUESS = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+_ORACLE_LANG_GUESS = rf"""
+WITH aug AS (SELECT doc_id, {_LANG_AUG_SQL} AS text FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM aug
 ),
 hits AS (
   SELECT doc_id,
@@ -1518,18 +1561,41 @@ GROUP BY doc_id
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-doc repetition stats on sentence-ish units (the sf documents
-    are single-line, so the segment regex is '\\. ')."""
+    """Intra-doc repetition stats on sentence-ish units (segment regex
+    '\\. ').  The sf documents are single-line with no '. ' inside, so
+    every doc used to collapse to ONE segment — ``dup_line_ratio`` was 0
+    and ``top_line_share`` 1 for all 500 rows, never exercising the
+    duplicate-segment branch.  Every 5th doc now gets the same sentence
+    appended twice (mirrored in the oracle), so those docs read 3
+    segments with a real dup ratio while the rest keep the single-segment
+    base case (pinned in tests/test_entry_nonvacuous.py)."""
     from quake3_log_analyser_spark.operators.corpus import repetition_stats
 
     docs = _table(spark, sf_dir, "documents")
-    return repetition_stats(docs, sep=r"\. ")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(". repeated boilerplate line. repeated boilerplate line"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return repetition_stats(aug, sep=r"\. ")
 
 
 _ORACLE_REPETITION = r"""
-WITH segs AS (
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+                 THEN '. repeated boilerplate line. repeated boilerplate line'
+                 ELSE '' END AS text
+  FROM documents
+),
+segs AS (
   SELECT doc_id, trim(x) AS line
-  FROM documents, UNNEST(regexp_split_to_array(text, '\. ')) AS u(x)
+  FROM aug, UNNEST(regexp_split_to_array(text, '\. ')) AS u(x)
   WHERE trim(x) <> ''
 ),
 per AS (SELECT doc_id, line, COUNT(*) AS cnt FROM segs GROUP BY 1, 2)
@@ -2051,7 +2117,134 @@ FROM tok t LEFT JOIN s USING (doc_id)
 """
 
 
+_CLS_TRAIN_EPOCHS = 3
+_CLS_TRAIN_LR = 1.0
+
+
+def _q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Spark classifier training (operators.corpus.train_classifier):
+    deterministic full-batch logistic regression over hashed bag-of-words
+    mean features, integer-micro weights.  Labels are derived
+    deterministically from the corpus itself (doc contains the token
+    'the') so the trained weights carry real lexical signal; the DuckDB
+    twin replays every epoch's update as unrolled CTEs."""
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.functions.text import ws_tokens
+    from quake3_log_analyser_spark.operators.corpus import train_classifier
+
+    docs = _table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(
+            F.transform(ws_tokens(F.col("text")), lambda w: F.lower(w)),
+            "the",
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    w = train_classifier(
+        labeled,
+        n_buckets=_CLS_BUCKETS,
+        n=1,
+        epochs=_CLS_TRAIN_EPOCHS,
+        lr=_CLS_TRAIN_LR,
+    )
+    return w.select(F.col("bucket").cast("long").alias("bucket"), "w_micro")
+
+
+def _classifier_train_oracle_sql(
+    n_buckets: int = _CLS_BUCKETS,
+    epochs: int = _CLS_TRAIN_EPOCHS,
+    lr: float = _CLS_TRAIN_LR,
+) -> str:
+    """DuckDB twin of train_classifier: the fixed epoch count unrolls to
+    one (margin, error, gradient, weight) CTE quartet per epoch — every
+    intermediate rounded to integer micro-units exactly as the Spark
+    trainer rounds, so the final weight table matches bit-for-bit."""
+    parts = [
+        rf"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+lab AS (
+  SELECT doc_id,
+    CASE WHEN list_contains(t, 'the') THEN 1.0 ELSE 0.0 END AS label
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(x), 1, 15))::BIGINT % {n_buckets} AS bucket,
+    COUNT(*) AS cnt
+  FROM tok, UNNEST(t) AS u(x) GROUP BY 1, 2
+),
+ng AS (SELECT doc_id, SUM(cnt) AS n_grams FROM cnt GROUP BY 1),
+feats AS (
+  SELECT c.doc_id, c.bucket, c.cnt, n.n_grams, l.label
+  FROM cnt c JOIN ng n USING (doc_id) JOIN lab l USING (doc_id)
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM ng),
+m1 AS (
+  SELECT doc_id, ANY_VALUE(label) AS label,
+         CAST(0 AS BIGINT) AS margin_micro
+  FROM feats GROUP BY doc_id
+),
+e1 AS (
+  SELECT doc_id,
+    CAST(round((label - 1.0 / (1.0 + exp(-(margin_micro / 1e6)))) * 1e6)
+         AS BIGINT) AS err_micro
+  FROM m1
+),
+g1 AS (
+  SELECT bucket,
+    SUM(CAST(round(e.err_micro * f.cnt / f.n_grams) AS BIGINT)) AS grad_micro
+  FROM feats f JOIN e1 e USING (doc_id) GROUP BY bucket
+),
+w1 AS (
+  SELECT bucket,
+    CAST(round({lr!r} * grad_micro / nd.n_docs) AS BIGINT) AS w_micro
+  FROM g1, nd
+)"""
+    ]
+    for k in range(2, epochs + 1):
+        p = k - 1
+        parts.append(
+            rf""",
+m{k} AS (
+  SELECT f.doc_id, ANY_VALUE(f.label) AS label,
+    CAST(round(SUM(COALESCE(w.w_micro, 0) * f.cnt)
+               / ANY_VALUE(f.n_grams)) AS BIGINT) AS margin_micro
+  FROM feats f LEFT JOIN w{p} w USING (bucket) GROUP BY f.doc_id
+),
+e{k} AS (
+  SELECT doc_id,
+    CAST(round((label - 1.0 / (1.0 + exp(-(margin_micro / 1e6)))) * 1e6)
+         AS BIGINT) AS err_micro
+  FROM m{k}
+),
+g{k} AS (
+  SELECT bucket,
+    SUM(CAST(round(e.err_micro * f.cnt / f.n_grams) AS BIGINT)) AS grad_micro
+  FROM feats f JOIN e{k} e USING (doc_id) GROUP BY bucket
+),
+w{k} AS (
+  SELECT g.bucket,
+    COALESCE(w.w_micro, 0)
+      + CAST(round({lr!r} * g.grad_micro / nd.n_docs) AS BIGINT) AS w_micro
+  FROM g{k} g LEFT JOIN w{p} w USING (bucket), nd
+)"""
+        )
+    parts.append(
+        f"\nSELECT CAST(bucket AS BIGINT) AS bucket, w_micro FROM w{epochs}"
+    )
+    return "".join(parts)
+
+
 _EXTRA_QUERIES = {
+    "classifier_train": _q_classifier_train,
     "duplicated_spans": _q_duplicated_spans,
     "build_vocab": _q_build_vocab,
     "hash_split": _q_hash_split,
@@ -2090,6 +2283,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "classifier_train": _classifier_train_oracle_sql(),
     "duplicated_spans": _ORACLE_DUP_SPANS,
     "build_vocab": _ORACLE_BUILD_VOCAB,
     "hash_split": _hash_split_oracle(),
