@@ -6,9 +6,25 @@ table sized to the scale factor (~3.3 turns per lineitem row, i.e. ~2M
 turns at sf0.1).  The transcripts parquet is generated once per sf into
 ``data/`` and reused.
 
+Two measurement tiers (round-6):
+
+* **in-session paired** (``queries``): every query rides an interleaved
+  warm-session group — right for comparing plan VARIANTS of the same work
+  within one run, but session-level drift (JVM heap age, page-cache state,
+  how long the session has been alive) is NOT cancelled, so these numbers
+  are not comparable across rounds (round-5 showed +104..164% on
+  byte-identical code purely from session aging).
+* **fresh-JVM medians** (``fresh``): the headline groups re-run in
+  subprocesses — one fresh JVM per measurement round, 2 in-JVM warm-ups
+  per query, median across ``SPARK_GRAFT_BENCH_FRESH_JVMS`` (default 3)
+  JVMs.  THESE are the round-over-round comparable numbers; the top-level
+  ``value`` comes from here when available.
+
 Env:
-  SPARK_GRAFT_SF_DIR  input scale dir   (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[N] cores    (default all)
+  SPARK_GRAFT_SF_DIR            input scale dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS              local[N] cores    (default all)
+  SPARK_GRAFT_BENCH_FRESH       0 disables the fresh-JVM tier (default 1)
+  SPARK_GRAFT_BENCH_FRESH_JVMS  JVMs per fresh median (default 3)
 
 Also measured: the pandas-UDF parser vs the column-expression parser (the
 Spark analogue of the reference's split-vs-regex study,
@@ -23,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -133,6 +150,41 @@ def ensure_span_docs(spark, n_docs: int = 400_000) -> str:
     return path
 
 
+def ensure_neardup_docs(spark, n_docs: int = 200_000) -> str:
+    """Generate (once) a corpus with REAL near-duplicate pairs for the
+    LSH join-shape bench: docs ``4k`` and ``4k+1`` share 36 of their 40
+    tokens (Jaccard ~0.82 — above any sane threshold), the other half of
+    the corpus is all-unique.  ~n_docs/4 true near-dup pairs, so the
+    candidate join and the exact verify both carry real volume — a corpus
+    with no near-dups (span_docs) would measure only the banding scan."""
+    from pyspark.sql import functions as F
+
+    path = str(REPO / "data" / f"neardup_docs_{n_docs // 1000}k")
+    if not (Path(path) / "_SUCCESS").exists():
+        grp = F.when(
+            F.col("id") % 4 < 2, (F.floor(F.col("id") / 2) * 2).cast("long")
+        ).otherwise(F.col("id"))
+        body = F.transform(
+            F.sequence(F.lit(1), F.lit(36)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(grp, i), F.lit(999983)).cast("string"),
+            ),
+        )
+        tail = F.transform(
+            F.sequence(F.lit(37), F.lit(40)),
+            lambda i: F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(999983)).cast("string"),
+            ),
+        )
+        spark.range(n_docs, numPartitions=CPUS * 2).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.concat(body, tail)).alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def ensure_bm25_index(spark, docs_path: str, n_buckets: int = 64) -> str:
     """Build (once) the bucket-partitioned BM25 inverted index over the
     span-docs corpus — the one-time linear build ``bm25_topk_indexed``
@@ -179,97 +231,43 @@ def ensure_bucketed(spark, tpath: str, n_buckets: int = 32) -> str:
     return tbl
 
 
-def main() -> None:
+# group name -> builder; shared between the in-session paired tier and the
+# fresh-JVM worker so BOTH tiers measure the identical plans
+FRESH_GROUPS = ("pipeline", "fanout", "dedup_hot")
+
+
+def build_headline_groups(spark) -> tuple[dict[str, dict], dict]:
+    """Thunks for the headline (fresh-JVM-eligible) groups plus run
+    metadata.  Every thunk is self-contained: the fresh worker calls these
+    in a brand-new JVM with nothing warmed."""
     from pyspark.sql import functions as F
 
-    from quake3_log_analyser_spark.session import get_spark
+    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
     from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    from quake3_log_analyser_spark.operators.route import write_sinks
     from quake3_log_analyser_spark.operators.sessionize import sessionize
-    from quake3_log_analyser_spark.operators.summarize import summarize_kills_only
+    from quake3_log_analyser_spark.operators.translate import translate
     from quake3_log_analyser_spark.plans.pipeline import (
         full_pipeline_ops,
         summarize_matches,
     )
+    from quake3_log_analyser_spark.presentation import render_conv_reports
     from quake3_log_analyser_spark.schemas import TRANSCRIPT_SCHEMA
-    import __spark_entry__ as entrymod
 
     sf_name = Path(SF_DIR).name
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
-
     orders_rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     tpath = ensure_transcripts(spark, sf_name, orders_rows * 10)
     transcripts = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tpath)
     n_turns = transcripts.count()
 
-    timings: dict[str, float] = {}
-
-    # Measurement protocol (BENCH/BASELINE.md: this VM shows 1.5-2x
-    # run-to-run drift): TWO warm-up runs per query — the first eats
-    # codegen/JIT, the second eats page-cache/JIT tail — then the MEDIAN of
-    # three timed runs.  Median (not best) is robust to a single calm or
-    # contended window, which is what broke round-over-round comparability
-    # in rounds 1-2.  EVERY query rides an interleaved group (round-5): a
-    # query whose reps run consecutively can read +40-70% purely from
-    # landing in a contended session window.
-    WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 2))
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
-
-    def bench_paired(group: dict, reps: int = REPS):
-        """Interleaved paired measurement for plan VARIANTS of the same
-        work: warm every variant, then run rounds A/B/C/A/B/C... and take
-        per-variant medians.  In-session drift (page cache, governor, JIT
-        tiers) then hits all variants equally instead of whichever ran
-        last — the round-3 artifact showed the bucketed plan 22% slower
-        than adhoc purely from sequential drift while targeted interleaved
-        runs showed it faster; the drift-robust protocol belongs IN the
-        committed artifact (scripts/scaling_bench.py already measured
-        scaling pairs this way)."""
-        results = {}
-        for name, fn in group.items():
-            for _ in range(WARMUPS):
-                results[name] = fn()
-        times = {name: [] for name in group}
-        for _ in range(reps):
-            for name, fn in group.items():
-                t0 = time.perf_counter()
-                results[name] = fn()
-                times[name].append(time.perf_counter() - t0)
-        for name, ts in times.items():
-            ts.sort()
-            timings[name] = round(ts[len(ts) // 2], 3)
-        return results
-
-    # headline: parse -> sessionize -> per-match aggregate (kills-only path)
-    def run_pipeline():
-        out = summarize_matches(transcripts, ops={"kills"})
-        return out.agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.sum("total_kills").alias("kills"),
-        ).collect()[0]
-
-    # GLOBAL warm-up: the first measured query otherwise eats the whole
-    # JVM/VM settling window (JIT, page cache, governor) — observed as the
-    # first query reading 1.5-2x its steady state even with its own two
-    # per-query warm-ups
-    for _ in range(2):
-        run_pipeline()
-
-    # bucketed + raw-session-first variant: shuffle-free, sort-free window
     btbl = ensure_bucketed(spark, tpath)
     bucketed = spark.table(btbl)
-
-    def run_pipeline_bucketed():
-        out = summarize_matches(bucketed, ops={"kills"}, session_first=True)
-        return out.agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.sum("total_kills").alias("kills"),
-        ).collect()[0]
 
     # skew posture (north rule): ONE conversation holds ~10% of all turns.
     # The skew lands on the sessionize window (partitionBy conv_id — a
     # co-location requirement AQE cannot split), so this measures the
-    # straggler cost relative to the uniform table above.  hot_conv_factor
-    # f gives conv0 f*TURNS turns of base+ (f-1)*TURNS total: f = base/(9*TURNS).
+    # straggler cost relative to the uniform table.  hot_conv_factor f
+    # gives conv0 f*TURNS turns: f = base/(9*TURNS) puts ~10% on conv0.
     n_convs = max(64, orders_rows * 10 // TURNS_PER_CONV)
     hot_factor = max(2, n_convs // 9)
     skew_path = ensure_transcripts(
@@ -277,6 +275,24 @@ def main() -> None:
     )
     skewed = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(skew_path)
     n_skew_turns = skewed.count()
+
+    head_result: dict = {}
+
+    def run_pipeline():
+        out = summarize_matches(transcripts, ops={"kills"})
+        row = out.agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("total_kills").alias("kills"),
+        ).collect()[0]
+        head_result["n_matches"] = row["n_matches"]
+        return row
+
+    def run_pipeline_bucketed():
+        out = summarize_matches(bucketed, ops={"kills"}, session_first=True)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("total_kills").alias("kills"),
+        ).collect()[0]
 
     def run_pipeline_skewed():
         out = summarize_matches(skewed, ops={"kills"})
@@ -293,19 +309,190 @@ def main() -> None:
             transcripts, ops={"kills", "means_of_death", "reported_scores"}
         ).agg(F.count(F.lit(1))).collect()
 
-    # the plan variants of the SAME headline work are measured interleaved
-    # (A/B/C/D rounds, median per variant) — drift-robust; multiop rides
-    # the same group so the 3-op-vs-1-op overhead is a same-window read
-    paired = bench_paired(
-        {
+    sink_dir = str(REPO / "data" / f"sinks_{sf_name}")
+    sink_dir_clustered = str(REPO / "data" / f"sinks_{sf_name}_clustered")
+
+    # fan-out routing: direct write (every upstream task scatters a file
+    # into every sink directory) vs pre-clustered (one repartition bounds
+    # output at sinks x CPUS files and cuts task-commit round-trips — the
+    # 100x-scale shape; see operators/route.py::write_sinks)
+    fanout = {
+        # extended exact fold (applyInPandas per conv)
+        "pipeline_extended": lambda: summarize_matches(
+            transcripts, ops=full_pipeline_ops()
+        ).agg(F.count(F.lit(1))).collect(),
+        # distributed JSON reports (exact fold + reference-format
+        # renderer, one grouped-map per conversation)
+        "json_report": lambda: render_conv_reports(
+            translate(parse_transcripts(transcripts))
+        ).agg(F.count(F.lit(1)), F.sum(F.length("report"))).collect(),
+        # fan-out routing (writes all five sinks; disk-bound)
+        "route_sinks": lambda: write_sinks(
+            sessionize(parse_transcripts(transcripts)), sink_dir
+        ),
+        "route_sinks_clustered": lambda: write_sinks(
+            sessionize(parse_transcripts(transcripts)),
+            sink_dir_clustered,
+            files_per_sink=CPUS,
+        ),
+    }
+
+    # hot-fingerprint dedup (viral-boilerplate skew): ONE text duplicated
+    # into 25% of an 8M-row table, so the survivor join-back's SMJ puts
+    # every copy of that fingerprint in one task unless AQE's skew-join
+    # splits it at runtime.  Paired AQE-on vs skew-split-off so the rescue
+    # is MEASURED.  Full salting (dedup_survivors(salts=8)) is deliberately
+    # NOT benchmarked at this scale: the keepers side is one row per
+    # DISTINCT fingerprint — corpus-sized at low dup rates — and salts x
+    # replication through the shuffle regresses catastrophically (measured:
+    # timeout at 16M rows); see operators/skew.py.
+    n_hot, n_uniq = 2_000_000, 6_000_000
+    hot_docs = spark.range(n_hot + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_hot, F.lit("the same viral boilerplate text")
+        )
+        .otherwise(F.concat(F.lit("unique document "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+
+    def dedup_hot_aqe_off():
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            return dedup_survivors(hot_docs).count()
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    groups = {
+        "pipeline": {
             "pipeline_kills": run_pipeline,
             "pipeline_kills_bucketed": run_pipeline_bucketed,
             "pipeline_kills_skewed": run_pipeline_skewed,
             "pipeline_multiop": run_pipeline_multiop,
-        }
-    )
-    head = paired["pipeline_kills"]
-    skew_hot_share = round(hot_factor * TURNS_PER_CONV / n_skew_turns, 3)
+        },
+        "fanout": fanout,
+        "dedup_hot": {
+            "dedup_hot": lambda: dedup_survivors(hot_docs).count(),
+            "dedup_hot_noskewaqe": dedup_hot_aqe_off,
+        },
+    }
+    meta = {
+        "sf_name": sf_name,
+        "n_turns": n_turns,
+        "transcripts": transcripts,
+        "head_result": head_result,
+        "skew_hot_share": round(hot_factor * TURNS_PER_CONV / n_skew_turns, 3),
+    }
+    return groups, meta
+
+
+def fresh_worker(group_name: str) -> None:
+    """Subprocess entry: measure ONE headline group in a brand-new JVM —
+    2 in-JVM warm-up reps per query (codegen/JIT + page-cache), then one
+    timed rep per query, printed as one JSON line.  The parent medians
+    across JVMs."""
+    from quake3_log_analyser_spark.session import get_spark
+
+    spark = get_spark("bench-fresh", cpus=CPUS, shuffle_partitions=CPUS)
+    groups, _ = build_headline_groups(spark)
+    group = groups[group_name]
+    for _ in range(2):
+        for fn in group.values():
+            fn()
+    out = {}
+    for name, fn in group.items():
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_fresh_tier(jvms: int) -> dict[str, float]:
+    """Fresh-JVM medians for every headline group: ``jvms`` subprocesses
+    per group (scripts/scaling_bench.py's per-point pattern), each JVM
+    fresh, median per query across JVMs.  Data tables already exist on
+    disk (the in-session tier materialized them), so workers only read."""
+    samples: dict[str, list[float]] = {}
+    for g in FRESH_GROUPS:
+        for j in range(jvms):
+            r = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--fresh-worker", g],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                cwd=str(REPO),
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if r.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"fresh worker {g} jvm{j} failed: {r.stderr[-2000:]}"
+                )
+            for k, v in json.loads(lines[-1]).items():
+                samples.setdefault(k, []).append(v)
+            sys.stderr.write(f"fresh {g} jvm{j}: {lines[-1]}\n")
+    return {
+        k: round(sorted(v)[len(v) // 2], 3) for k, v in samples.items()
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from quake3_log_analyser_spark.session import get_spark
+    from quake3_log_analyser_spark.operators.parse import parse_transcripts
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    groups, meta = build_headline_groups(spark)
+    sf_name, n_turns = meta["sf_name"], meta["n_turns"]
+    transcripts = meta["transcripts"]
+
+    timings: dict[str, float] = {}
+
+    # In-session protocol (BENCH/BASELINE.md: this VM shows 1.5-2x
+    # run-to-run drift): TWO warm-up runs per query, then the MEDIAN of
+    # three timed runs, with every query riding an interleaved group.
+    WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", 2))
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
+
+    def bench_paired(group: dict, reps: int = REPS):
+        """Interleaved paired measurement for plan VARIANTS of the same
+        work: warm every variant, then run rounds A/B/C/A/B/C... and take
+        per-variant medians.  In-session drift (page cache, governor, JIT
+        tiers) then hits all variants equally instead of whichever ran
+        last — right for WITHIN-RUN variant comparisons.  It does NOT make
+        numbers comparable across sessions: a longer session ages the JVM
+        heap and page cache under later groups (round-5 measured +104-164%
+        on byte-identical code).  Cross-round comparisons belong to the
+        fresh-JVM tier (``fresh`` in the output)."""
+        results = {}
+        for name, fn in group.items():
+            for _ in range(WARMUPS):
+                results[name] = fn()
+        times = {name: [] for name in group}
+        for _ in range(reps):
+            for name, fn in group.items():
+                t0 = time.perf_counter()
+                results[name] = fn()
+                times[name].append(time.perf_counter() - t0)
+        for name, ts in times.items():
+            ts.sort()
+            timings[name] = round(ts[len(ts) // 2], 3)
+        return results
+
+    # GLOBAL warm-up: the first measured query otherwise eats the whole
+    # JVM/VM settling window (JIT, page cache, governor) — observed as the
+    # first query reading 1.5-2x its steady state even with its own two
+    # per-query warm-ups
+    for _ in range(2):
+        groups["pipeline"]["pipeline_kills"]()
+
+    # the plan variants of the SAME headline work are measured interleaved
+    # (A/B/C/D rounds, median per variant); multiop rides the same group so
+    # the 3-op-vs-1-op overhead is a same-window read
+    bench_paired(groups["pipeline"])
+    head = meta["head_result"]
 
     # parser comparison (reference: split vs regex, 3200x — ours: JVM
     # expressions vs Arrow pandas UDF).  Interleaved: the round-4 artifact
@@ -327,68 +514,10 @@ def main() -> None:
         }
     )
 
-    # the three grouped-map / fan-out pipelines ride one interleaved group:
-    # not plan variants of identical work, but pairing spreads each query's
-    # reps across the session window so a +47%/+71% artifact move (round-4
-    # pipeline_extended/route_sinks) is a real regression, not drift
-    from quake3_log_analyser_spark.operators.translate import translate
-    from quake3_log_analyser_spark.presentation import render_conv_reports
-    from quake3_log_analyser_spark.operators.route import write_sinks
-
-    sink_dir = str(REPO / "data" / f"sinks_{sf_name}")
-    bench_paired(
-        {
-            # extended exact fold (applyInPandas per conv)
-            "pipeline_extended": lambda: summarize_matches(
-                transcripts, ops=full_pipeline_ops()
-            ).agg(F.count(F.lit(1))).collect(),
-            # distributed JSON reports (exact fold + reference-format
-            # renderer, one grouped-map per conversation)
-            "json_report": lambda: render_conv_reports(
-                translate(parse_transcripts(transcripts))
-            ).agg(F.count(F.lit(1)), F.sum(F.length("report"))).collect(),
-            # fan-out routing (writes all five sinks; disk-bound)
-            "route_sinks": lambda: write_sinks(
-                sessionize(parse_transcripts(transcripts)), sink_dir
-            ),
-        }
-    )
-
-    # hot-fingerprint dedup (viral-boilerplate skew): ONE text duplicated
-    # into 25% of an 8M-row table, so the survivor join-back's SMJ puts
-    # every copy of that fingerprint in one task unless AQE's skew-join
-    # splits it at runtime.  Paired AQE-on vs skew-split-off so the rescue
-    # is MEASURED (at 16M rows: 9.2 s vs 11.2 s).  Full salting
-    # (dedup_survivors(salts=8)) is deliberately NOT benchmarked at this
-    # scale: the keepers side is one row per DISTINCT fingerprint — corpus-
-    # sized at low dup rates — and salts x replication through the shuffle
-    # regresses catastrophically (measured: timeout at 16M rows); see
-    # operators/skew.py for when explicit salting does apply.
-    from quake3_log_analyser_spark.operators.dedup import dedup_survivors
-
-    n_hot, n_uniq = 2_000_000, 6_000_000
-    hot_docs = spark.range(n_hot + n_uniq).select(
-        F.col("id").alias("doc_id"),
-        F.when(
-            F.col("id") < n_hot, F.lit("the same viral boilerplate text")
-        )
-        .otherwise(F.concat(F.lit("unique document "), F.col("id").cast("string")))
-        .alias("text"),
-    )
-
-    def dedup_hot_aqe_off():
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        try:
-            return dedup_survivors(hot_docs).count()
-        finally:
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-
-    bench_paired(
-        {
-            "dedup_hot": lambda: dedup_survivors(hot_docs).count(),
-            "dedup_hot_noskewaqe": dedup_hot_aqe_off,
-        }
-    )
+    # grouped-map / fan-out pipelines (incl. the route_sinks direct-vs-
+    # clustered write pair) and the hot-fingerprint dedup pair
+    bench_paired(groups["fanout"])
+    bench_paired(groups["dedup_hot"])
 
     # cross-document repeated-substring spans (round-5): 400k docs x ~46
     # tokens (~18M gram windows through explode -> doc-freq agg -> join-
@@ -397,6 +526,8 @@ def main() -> None:
     # join-back + JVM token filter over the full corpus.
     from quake3_log_analyser_spark.operators.dedup import (
         duplicated_spans,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_carry,
         strip_spans,
     )
 
@@ -412,6 +543,24 @@ def main() -> None:
         ).collect()[0][0]
 
     bench_paired({"span_detect": span_detect, "span_strip": span_strip})
+
+    # LSH candidate-join shape (round-6): slim band join (ids only; grams
+    # join back onto the deduplicated pairs for the verify — shuffle
+    # O(corpus x bands) + O(pairs x gram_bytes)) vs the gram-carrying form
+    # (grams ride every banded row — O(corpus x bands x gram_bytes)).
+    # Same verified pairs by construction (pinned in tests); measured over
+    # a corpus with ~50k REAL near-dup pairs so the verify carries volume.
+    nd_docs = spark.read.parquet(ensure_neardup_docs(spark))
+    bench_paired(
+        {
+            "lsh_pairs_slim": lambda: minhash_lsh_pairs(
+                nd_docs, n=1, n_hashes=16, bands=4, threshold=0.7
+            ).count(),
+            "lsh_pairs_carry": lambda: minhash_lsh_pairs_carry(
+                nd_docs, n=1, n_hashes=16, bands=4, threshold=0.7
+            ).count(),
+        }
+    )
 
     # BM25 brute vs inverted-index over the same 400k-doc corpus and the
     # same 3-term query (terms at 10%/10%/90% doc frequency).  The brute
@@ -469,7 +618,7 @@ def main() -> None:
     )
 
     # generic engine queries on the sf tables (one interleaved group:
-    # every query in the artifact is now either paired or fresh-JVM)
+    # every query in the artifact is either paired or fresh-JVM)
     qs = entrymod.queries()
     bench_paired(
         {
@@ -478,27 +627,60 @@ def main() -> None:
         }
     )
 
-    pipeline_sec = timings["pipeline_kills"]
-    best_sec = min(pipeline_sec, timings.get("pipeline_kills_bucketed", pipeline_sec))
+    # fresh-JVM tier: one subprocess per (group, jvm), medians across
+    # JVMs — the ROUND-OVER-ROUND comparable numbers.  The in-session
+    # spark stays alive (idle) but holds no CPU; workers read the tables
+    # this session already materialized.
+    fresh: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
+        jvms = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH_JVMS", 3))
+        fresh = run_fresh_tier(jvms)
+
+    pipeline_sec_sess = timings["pipeline_kills"]
+    pipeline_sec = fresh.get("pipeline_kills", pipeline_sec_sess)
+    best_sec = min(
+        pipeline_sec,
+        fresh.get(
+            "pipeline_kills_bucketed",
+            timings.get("pipeline_kills_bucketed", pipeline_sec),
+        ),
+    )
     turns_per_sec = round(n_turns / best_sec) if best_sec > 0 else 0
     print(
         json.dumps(
             {
                 "metric": "transcript_pipeline_e2e_seconds",
                 "value": pipeline_sec,
+                "value_source": (
+                    "fresh_jvm_median" if fresh else "in_session_median"
+                ),
                 "unit": "sec",
                 "queries": timings,
+                "fresh": fresh,
                 "sf": sf_name,
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
-                "n_matches": head["n_matches"],
+                "turns_per_sec_insession": (
+                    round(n_turns / pipeline_sec_sess)
+                    if pipeline_sec_sess > 0
+                    else 0
+                ),
+                "n_matches": head.get("n_matches"),
                 "cpus": CPUS,
-                "protocol": f"{WARMUPS} warmups + median of {REPS}",
-                "skew_hot_share": skew_hot_share,
+                "protocol": (
+                    f"in-session: {WARMUPS} warmups + median of {REPS}, "
+                    "interleaved groups; fresh: median across "
+                    f"{int(os.environ.get('SPARK_GRAFT_BENCH_FRESH_JVMS', 3))}"
+                    " fresh JVMs, 2 in-JVM warmups each"
+                ),
+                "skew_hot_share": meta["skew_hot_share"],
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--fresh-worker":
+        fresh_worker(sys.argv[2])
+    else:
+        main()
