@@ -1178,6 +1178,31 @@ def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raw-text variant: embedded by composite oracles (clean_corpus) whose
+# Spark side gates on the UNaugmented text — the es/de/fr injection
+# belongs only to the standalone ★lang_guess / ★lang_hits gate rows
+_ORACLE_LANG_GUESS_RAW = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','los','del','se'))) AS es,
+    len(list_filter(w, x -> x IN ('der','die','und','das','ist','von','den','mit','für','auf'))) AS de,
+    len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','que','dans','pour'))) AS fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+       WHEN en = greatest(en, es, de, fr) THEN 'en'
+       WHEN es = greatest(en, es, de, fr) THEN 'es'
+       WHEN de = greatest(en, es, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
 _ORACLE_LANG_GUESS = rf"""
 WITH aug AS (SELECT doc_id, {_LANG_AUG_SQL} AS text FROM documents),
 toks AS (
@@ -1475,7 +1500,7 @@ def _clean_corpus_oracle_sql() -> str:
     return f"""
 WITH removed AS ({_ORACLE_DEDUP_SURVIVORS}),
 q AS ({_ORACLE_QUALITY}),
-l AS ({_ORACLE_LANG_GUESS}),
+l AS ({_ORACLE_LANG_GUESS_RAW}),
 gated AS (
   SELECT d.doc_id, d.text, q.quality, l.lang_guess
   FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)

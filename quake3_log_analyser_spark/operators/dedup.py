@@ -197,21 +197,36 @@ def _banded_minhash(
 
 def _verify_jaccard(
     cand_ids: DataFrame,
-    shingled: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
     a_col: str,
     b_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Exact-Jaccard verification of slim candidate pairs: join the gram
-    sets back by doc id (two hash joins keyed on the pair endpoints —
-    shuffle volume O(pairs x gram_bytes), the part that actually needs the
-    payload) and filter on the true Jaccard."""
-    ga = shingled.select(
-        F.col("doc_id").alias(a_col), F.col("grams").alias("grams_a")
+    """Exact-Jaccard verification of slim candidate pairs.
+
+    Shingles are rebuilt ONLY for documents that appear in a candidate
+    pair: the distinct pair endpoints semi-join the RAW docs table first,
+    then the survivors are shingled and hash-joined to the pairs.  Both
+    the verify's recompute (tokenize + gram-build, the expensive
+    projection) and its shuffle are therefore O(docs-in-pairs x
+    gram_bytes), not O(corpus x gram_bytes) — at production dup rates
+    (1-30% of docs in any candidate pair) the verify touches a small
+    fraction of the corpus, and AQE turns the semi-join into a broadcast
+    when the endpoint set is small."""
+    ids = (
+        cand_ids.select(F.col(a_col).alias("__vid"))
+        .unionByName(cand_ids.select(F.col(b_col).alias("__vid")))
+        .dropDuplicates(["__vid"])
     )
-    gb = shingled.select(
-        F.col("doc_id").alias(b_col), F.col("grams").alias("grams_b")
+    needed = docs.join(
+        ids, docs[id_col] == ids["__vid"], "left_semi"
     )
+    sh = _shingled(needed, text_col, id_col, n)
+    ga = sh.select(F.col("doc_id").alias(a_col), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias(b_col), F.col("grams").alias("grams_b"))
     return (
         cand_ids.join(ga, a_col)
         .join(gb, b_col)
@@ -249,11 +264,16 @@ def minhash_lsh_pairs(
     the exact verify, O(pairs x gram_bytes).  The round-5 form kept each
     doc's full gram array on every banded row through the candidate join,
     making the dominant shuffle O(corpus x bands x gram_bytes) — payload
-    only the verify step needs.  The trade is recomputing the shingle
-    expression for the two verify joins (a scan-side projection, cheap)
-    against shuffling it bands(x2) times (the 100 TB cost).  Measured at
-    the 400k-doc bench scale: see bench.py ``lsh_pairs_slim`` vs
-    ``lsh_pairs_carry``.
+    only the verify step needs.  The verify re-shingles ONLY the docs
+    that appear in a candidate pair (semi-join on the raw table first),
+    so the recompute is O(docs-in-pairs), not a second full-corpus
+    tokenize.  Measured (bench.py ``lsh_pairs_slim`` vs
+    ``lsh_pairs_carry``): the forms tie within this box's noise at both
+    light (40-token) and heavy (160-token, bands=8) gram regimes —
+    locally the minhash signature compute dominates and shuffle is
+    DRAM-speed; the slim form is the default because its advantage
+    (bands x gram_bytes less shuffle) prices in network/disk shuffle,
+    which this single box cannot exhibit.
 
     The band bucket key is the band's signature values joined as a string
     (NOT a re-hash of the slice): buckets collide exactly when the slices
@@ -280,7 +300,9 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_jaccard(cand_ids, sh, "doc_a", "doc_b", threshold)
+    return _verify_jaccard(
+        cand_ids, df, text_col, id_col, n, "doc_a", "doc_b", threshold
+    )
 
 
 def minhash_lsh_pairs_carry(
@@ -396,8 +418,8 @@ def neardup_against(
     Jaccard verify removes false candidates.  The join key is
     (band, bucket), hash-partitioned; neither side is broadcast.  Same
     slim shape as ``minhash_lsh_pairs``: the band join carries ids only,
-    and each side's gram sets join back onto the deduplicated candidate
-    pairs for the verify.
+    and each side re-shingles ONLY its docs that appear in a candidate
+    (semi-join on the raw frame) before joining back for the verify.
     """
     sh_a = _shingled(new_docs, text_col, id_col, n)
     sh_b = _shingled(reference, text_col, id_col, n)
@@ -415,8 +437,20 @@ def neardup_against(
         )
         .dropDuplicates(["doc_id", "ref_doc_id"])
     )
-    ga = sh_a.select(F.col("doc_id"), F.col("grams").alias("grams_a"))
-    gb = sh_b.select(
+
+    def _needed(docs: DataFrame, key: str) -> DataFrame:
+        ids = cand_ids.select(F.col(key).alias("__vid")).dropDuplicates(["__vid"])
+        return _shingled(
+            docs.join(ids, docs[id_col] == ids["__vid"], "left_semi"),
+            text_col,
+            id_col,
+            n,
+        )
+
+    ga = _needed(new_docs, "doc_id").select(
+        F.col("doc_id"), F.col("grams").alias("grams_a")
+    )
+    gb = _needed(reference, "ref_doc_id").select(
         F.col("doc_id").alias("ref_doc_id"), F.col("grams").alias("grams_b")
     )
     return (
