@@ -56,7 +56,8 @@ def build_zip(tmp: Path) -> Path:
 
 def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
             tag: str, retries: int = 1,
-            extra_job_args: list[str] | None = None) -> float:
+            extra_job_args: list[str] | None = None,
+            job_reps: int = 2) -> float:
     """One fresh-JVM spark-submit; returns the job's internal elapsed_s.
 
     A failed submit is retried ``retries`` times: long-GC pauses on this
@@ -90,7 +91,7 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
         "--checkpoint", str(ck),
         "--ops", "kills",
         "--run-id", f"submit-{tag}",
-        "--reps", "2",
+        "--reps", str(job_reps),
     ] + (extra_job_args or [])
     r = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=1800,
@@ -103,13 +104,17 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
             )
             return one_run(
                 cpus, zip_path, input_path, tmp, tag, retries - 1,
-                extra_job_args,
+                extra_job_args, job_reps,
             )
         raise SystemExit(f"spark-submit local[{cpus}] failed")
     # the job prints one elapsed_s per rep; rep 1 pays one-time JVM
     # codegen + python-worker spawn (core-count-independent, so folding
     # it in would measure the sandbox's startup cost, not the pipeline's
-    # scaling) — take the LAST rep, the amortized steady state
+    # scaling) — drop it and take the BEST of the remaining reps, the
+    # protocol the in-process scaling evidence uses (two warm-ups +
+    # best-of-3): on this box a single post-warm-up rep still carries up
+    # to 2x noise, which at job_reps=2 dominated the pair (measured
+    # local[8] reps spread 25-43 s on identical code)
     times = re.findall(r"elapsed_s=([0-9.]+)", r.stdout)
     if not times:
         sys.stderr.write(r.stdout[-2000:] + "\n")
@@ -119,7 +124,7 @@ def one_run(cpus: int, zip_path: Path, input_path: Path, tmp: Path,
         f"job ran on {mm and mm.group(1)}, wanted local[{cpus}] — "
         "the submitted master was not honored"
     )
-    return float(times[-1])
+    return min(float(t) for t in times[1:]) if len(times) > 1 else float(times[0])
 
 
 def count_rows(input_path: Path) -> int:
@@ -147,10 +152,16 @@ def main() -> None:
     if "--skip-sinks" in sys.argv:
         extra_job_args.append("--skip-sinks")
         variant = "compute_only"
+    job_reps = 2
     for arg in sys.argv[1:]:
         if arg.startswith("--files-per-sink="):
             extra_job_args += ["--files-per-sink", arg.split("=", 1)[1]]
             variant = f"e2e_fps{arg.split('=', 1)[1]}"
+        if arg.startswith("--job-reps="):
+            # in-JVM reps; rep 1 dropped, best of the rest measured.
+            # Raise for short (compute-only) jobs where per-rep noise
+            # dominates; keep low for the ~7-min-per-rep e2e pairs.
+            job_reps = int(arg.split("=", 1)[1])
 
     # outputs + checkpoints on tmpfs: this box's VM disk (~200 MB/s,
     # shared) serializes the five-sink parquet write and would measure
@@ -166,9 +177,11 @@ def main() -> None:
         lo, hi = [], []
         for r in range(rounds):
             lo.append(one_run(n, zip_path, input_path, tmp, f"r{r}c{n}",
-                              extra_job_args=extra_job_args))
+                              extra_job_args=extra_job_args,
+                              job_reps=job_reps))
             hi.append(one_run(n4, zip_path, input_path, tmp, f"r{r}c{n4}",
-                              extra_job_args=extra_job_args))
+                              extra_job_args=extra_job_args,
+                              job_reps=job_reps))
             print(
                 f"round {r}: local[{n}] {lo[-1]:.2f}s  "
                 f"local[{n4}] {hi[-1]:.2f}s",
@@ -188,8 +201,9 @@ def main() -> None:
             "turns_per_sec": {str(n): round(thr_lo), str(n4): round(thr_hi)},
             "scaling_efficiency": round(eff, 3),
             "protocol": (
-                f"fresh JVM per point, interleaved {n}/{n4}, 2 reps per "
-                f"JVM (rep 2 measured), median of {rounds}"
+                f"fresh JVM per point, interleaved {n}/{n4}, {job_reps} "
+                f"reps per JVM (rep 1 dropped, best of rest), median of "
+                f"{rounds}"
             ),
         }
         line = json.dumps(result)
