@@ -2268,7 +2268,117 @@ w{k} AS (
     return "".join(parts)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse k-means cells (the IVF seed
+    rule) + within-cell pairwise cosine + keep-min survivorship.  The
+    synthetic embeddings carry no near-duplicates (max within-cell
+    cosine 0.49), so the query re-injects a perturbed copy of every
+    ``vec_id % 25 == 0`` vector (first component +0.2, id +100000) —
+    derived deterministically FROM the table, no external data.  At
+    threshold 0.9, 16 of the 20 injected copies are dropped and 4 are
+    not (cross-cell or sub-threshold) — both branches exercised."""
+    from quake3_log_analyser_spark.operators.ann import semdedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    inj = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.2)),
+            F.transform(
+                F.slice("embedding", 2, F.size("embedding") - 1),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(inj)
+    return semdedup(aug, n_centroids=16, threshold=0.9)
+
+
+_ORACLE_SEMDEDUP = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, [embedding[1]::DOUBLE + 0.2] || (embedding::DOUBLE[])[2:]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         FROM (SELECT vec_id, v FROM aug ORDER BY vec_id LIMIT 16)),
+ranked AS (
+  SELECT a.vec_id, a.v, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cid) AS r
+  FROM aug a CROSS JOIN cent c),
+cells AS (SELECT vec_id, v, cid FROM ranked WHERE r = 1),
+pairs AS (
+  SELECT b.vec_id AS dropped_id, a.vec_id AS kept_cand, b.cid AS cell,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9)
+SELECT dropped_id, min(kept_cand) AS kept_id, CAST(cell AS INT) AS cell,
+       arg_min(cosine, kept_cand) AS cosine
+FROM pairs GROUP BY dropped_id, cell
+"""
+
+
+def _q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling mixture (epochs > 1.0): src0 x2.5, src1 x0.25,
+    src2 x1.0, unlisted sources dropped — floor(e) full copies plus a
+    hash-gated fractional copy, copy index exposed as ``epoch``."""
+    from quake3_log_analyser_spark.operators.corpus import epoch_mixture
+
+    docs = _table(spark, sf_dir, "documents")
+    return epoch_mixture(
+        docs, {"src0": 2.5, "src1": 0.25, "src2": 1.0}, seed=7
+    ).select("doc_id", "source", "epoch")
+
+
+_ORACLE_EPOCH_MIXTURE = """
+WITH rates(source, whole, frac_hex) AS (
+  VALUES ('src0', 2, '80000000'), ('src1', 0, '40000000'),
+         ('src2', 1, '00000000')),
+j AS (
+  SELECT d.doc_id, d.source,
+         coalesce(r.whole, 0)
+           + CASE WHEN substr(md5('7|' || d.doc_id), 1, 8)
+                       < coalesce(r.frac_hex, '00000000')
+                  THEN 1 ELSE 0 END AS n
+  FROM documents d LEFT JOIN rates r USING (source))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
+FROM j WHERE n >= 1
+"""
+
+
+def _q_block_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: (block, pos) permutation,
+    32 blocks, pure function of (seed, doc_id)."""
+    from quake3_log_analyser_spark.operators.corpus import block_shuffle
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return block_shuffle(docs, n_blocks=32, seed=3)
+
+
+_ORACLE_BLOCK_SHUFFLE = """
+WITH h AS (SELECT doc_id, substr(md5('3|' || doc_id), 1, 8) AS hh FROM documents),
+b AS (
+  SELECT doc_id, hh,
+         CAST(((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 32 AS INT)
+           AS block
+  FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, block,
+       row_number() OVER (PARTITION BY block ORDER BY hh, doc_id) AS pos
+FROM b
+"""
+
+
 _EXTRA_QUERIES = {
+    "semdedup": _q_semdedup,
+    "epoch_mixture": _q_epoch_mixture,
+    "block_shuffle": _q_block_shuffle,
     "classifier_train": _q_classifier_train,
     "duplicated_spans": _q_duplicated_spans,
     "build_vocab": _q_build_vocab,
@@ -2308,6 +2418,9 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "semdedup": _ORACLE_SEMDEDUP,
+    "epoch_mixture": _ORACLE_EPOCH_MIXTURE,
+    "block_shuffle": _ORACLE_BLOCK_SHUFFLE,
     "classifier_train": _classifier_train_oracle_sql(),
     "duplicated_spans": _ORACLE_DUP_SPANS,
     "build_vocab": _ORACLE_BUILD_VOCAB,

@@ -604,3 +604,73 @@ def quantized_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rnk")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space coarsely, then drop
+    all-but-one of every within-cluster near-duplicate group.
+
+    Returns one row per REMOVED vector: ``(dropped_id, kept_id, cell,
+    cosine)`` where ``kept_id`` is the smallest-id same-cell neighbor
+    whose rounded cosine clears ``threshold`` (keep-min survivorship,
+    the same rule as ``dedup.dedup_survivors``) and ``cosine`` is that
+    pair's similarity.  Anti-join the corpus on ``dropped_id`` to
+    materialize survivors.
+
+    100 TB shape (the paper runs ~50k clusters over LAION-440M):
+
+    * cell assignment is one Arrow-batched BLAS matmul per batch
+      (``ivf_cells``, nprobe=1) — map-side, no shuffle;
+    * the candidate join is an equi-join on ``cell``; within-cell
+      all-pairs is the ALGORITHM (SemDeDup §2: pairwise cosine inside
+      each k-means cluster), not an accident — its cost is bounded by
+      cluster granularity, so ``n_centroids`` must scale with the corpus
+      to hold E[cell size] roughly constant.  Each side shuffles once on
+      ``cell``; no broadcast (both sides are corpus-sized);
+    * survivorship is one hash aggregation (``min`` / ``min_by`` per
+      dropped id) — map-side combinable.
+
+    Embeddings are cast to double before scoring so the cosine matches a
+    float64 oracle bit-for-bit at ``round_digits``.  The reference engine
+    has no embedding tier (its dedup surface is exact text identity);
+    this extends the dedup family to the semantic level a training-data
+    pipeline needs.
+    """
+    as_double = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    if centroids is None:
+        centroids = ivf_seed_centroids(as_double, n_centroids, "_id", "_v")
+    cells = as_double.select(
+        "_id", "_v", ivf_cells(F.col("_v"), centroids, 1)[0].alias("cell")
+    )
+    a = cells.select(
+        F.col("_id").alias("kept_cand"), F.col("_v").alias("_va"), "cell"
+    )
+    b = cells.select(
+        F.col("_id").alias("dropped_id"), F.col("_v").alias("_vb"), "cell"
+    )
+    pairs = with_cosine(
+        a.join(b, "cell").filter(F.col("kept_cand") < F.col("dropped_id")),
+        "_va",
+        "_vb",
+    ).withColumn("cosine", F.round("cosine", round_digits))
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .groupBy("dropped_id", "cell")
+        .agg(
+            F.min("kept_cand").alias("kept_id"),
+            F.min_by("cosine", "kept_cand").alias("cosine"),
+        )
+        .select("dropped_id", "kept_id", "cell", "cosine")
+    )

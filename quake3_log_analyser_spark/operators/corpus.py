@@ -152,6 +152,117 @@ def mixture_sample(
     )
 
 
+def epoch_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_epochs: float = 0.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Mixture weights that may EXCEED 1.0 — the upsampling form real
+    pretraining mixtures use ("Wikipedia ×2.5, CommonCrawl ×0.3", the
+    Pile / Llama recipe).  Each row is replicated ``floor(e)`` times,
+    plus one more iff its deterministic hash draw falls below
+    ``frac(e)``; the copy index is exposed as ``epoch`` (0-based) so
+    downstream shuffling/packing can interleave copies instead of
+    emitting them back-to-back.
+
+    Pure map-side: one broadcast join against the dozens-row epoch
+    table, one filter, one ``explode(sequence(...))`` — no shuffle, no
+    window, so the op costs exactly the bytes it emits at any corpus
+    size.  Fractional membership is the same pure-(seed, key) draw as
+    ``hash_sample``: stable across runs, partitionings, and resumes.
+    ``epochs`` values with inexact binary fractions replicate at
+    ``floor(value * 16^8) / 16^8`` — exact for the halves/quarters real
+    mixture configs use.
+
+    Rows whose source is absent from ``epochs`` get ``default_epochs``
+    (0.0 = drop unlisted sources, the explicit-manifest posture).
+    """
+    for src, e in epochs.items():
+        if e < 0.0:
+            raise ValueError(f"epochs for {src!r} must be >= 0, got {e}")
+    if default_epochs < 0.0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [
+            (src, int(e), format(int((e - int(e)) * 16**8), "08x"))
+            for src, e in epochs.items()
+        ],
+        f"{source_col} string, _whole int, _frac_hex string",
+    )
+    d_whole = F.lit(int(default_epochs))
+    d_frac = F.lit(format(int((default_epochs - int(default_epochs)) * 16**8), "08x"))
+    draw = _hash_hex(key_col, seed)
+    n = F.coalesce("_whole", d_whole) + F.when(
+        draw < F.coalesce("_frac_hex", d_frac), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rates), source_col, "left")
+        .withColumn("_n_copies", n)
+        # filter BEFORE the explode: Spark's sequence(0, -1) would step
+        # DOWNWARD ([0, -1]), fabricating two copies of a dropped row
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_whole", "_frac_hex", "_n_copies")
+    )
+
+
+#: hex-digit alphabet shared by ``block_shuffle``'s Spark expression and
+#: its SQL oracle twin: ``instr(_HEX, c) - 1`` is the hex digit's value
+#: in any engine that has ``instr``, which sidesteps the engines'
+#: mutually-incompatible hex-parse builtins (Spark ``conv`` / DuckDB
+#: ``from_hex``).
+_HEX = "0123456789abcdef"
+
+
+def block_shuffle(
+    df: DataFrame,
+    n_blocks: int = 64,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    block_col: str = "block",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle: a reproducible global
+    permutation of the corpus as ``(block, pos)`` — read blocks in order,
+    rows within a block in ``pos`` order, and every run/resume sees the
+    SAME order (``orderBy(rand())`` does not survive either).
+
+    A global ``row_number()`` would serialize the corpus through one
+    task (the ``build_vocab`` lesson); instead the permutation is
+    hierarchical: ``block`` = first two hex digits of the row's
+    ``md5(seed|key)`` draw mod ``n_blocks`` (uniform, content-derived),
+    ``pos`` = rank within the block by the full draw.  The window is
+    PARTITIONED by block, so each block ranks in its own task chain and
+    ``n_blocks`` scales with the corpus to keep blocks one-task-sized.
+    At 10^12 rows this is one hash shuffle on ``block`` + a per-block
+    sort — the terasort cost floor any true global shuffle pays.
+    """
+    if not 1 <= n_blocks <= 256:
+        # two hex digits carry 256 distinct values; more blocks than
+        # that would leave block ids empty (modulo of a 0..255 draw)
+        raise ValueError(f"n_blocks must be in [1, 256], got {n_blocks}")
+    draw = _hash_hex(key_col, seed)
+    block = F.expr(
+        f"CAST((((instr('{_HEX}', substring(_draw, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring(_draw, 2, 1)) - 1))"
+        f" % {int(n_blocks)}) AS INT)"
+    )
+    w = Window.partitionBy(block_col).orderBy(F.col("_draw"), F.col(key_col))
+    return (
+        df.withColumn("_draw", draw)
+        .withColumn(block_col, block)
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("_draw")
+    )
+
+
 def stratified_cap(
     df: DataFrame,
     strata_col: str,

@@ -1836,3 +1836,103 @@ def test_build_vocab_plan_is_take_ordered(spark, docs):
     assert [r["rank"] for r in rows[:3]] == [1, 2, 3]
     # ranks are the (count desc, token) order, densely 1..size
     assert sorted(r["rank"] for r in rows) == list(range(1, 21))
+
+
+def test_semdedup_drops_injected_neardups(spark, emb):
+    """SemDeDup keep-min survivorship: a perturbed copy (first component
+    +0.2) of every vec_id % 25 == 0 vector must be dropped in favor of
+    its lower-id original when it lands in the same cell above 0.9."""
+    from quake3_log_analyser_spark.operators.ann import semdedup
+
+    inj = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.1)),
+            F.transform(
+                F.slice("embedding", 2, F.size("embedding") - 1),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(inj)
+    dropped = semdedup(aug, n_centroids=8, threshold=0.9).collect()
+    assert len(dropped) > 0, "gate must not be vacuous"
+    by_id = {r["dropped_id"]: r for r in dropped}
+    for r in dropped:
+        # injected copies (id >= 5000) must map back to a lower id, and
+        # when the survivor is the original, cosine is near-1
+        assert r["kept_id"] < r["dropped_id"]
+        assert r["cosine"] >= 0.9
+    # at least one injected copy collapses onto its exact original
+    exact = [r for r in dropped
+             if r["dropped_id"] >= 5000 and r["kept_id"] == r["dropped_id"] - 5000]
+    assert exact, "no injected copy mapped to its original"
+    # survivors are never themselves dropped: kept_id of any row must not
+    # appear as a dropped_id with a cosine tie chain violating keep-min
+    originals = {r["kept_id"] for r in dropped}
+    # keep-min rule: an id can be both kept (for a higher id) and dropped
+    # (for a lower id) only if ids strictly decrease along the chain
+    for kept in originals & set(by_id):
+        assert by_id[kept]["kept_id"] < kept
+
+
+def test_epoch_mixture_replicates_and_gates(spark, docs):
+    from quake3_log_analyser_spark.operators.corpus import epoch_mixture
+
+    base = docs.filter(F.col("doc_id") < 10000)  # originals only
+    out = epoch_mixture(
+        base, {"src0": 2.0, "src1": 0.5, "src3": 1.25}, seed=3
+    ).select("doc_id", "source", "epoch")
+    rows = out.collect()
+    n_by = {}
+    for r in rows:
+        n_by.setdefault((r["source"], r["doc_id"]), []).append(r["epoch"])
+    for (src, _), eps in n_by.items():
+        # copy indices are dense 0..n-1
+        assert sorted(eps) == list(range(len(eps)))
+        if src == "src0":
+            assert len(eps) == 2          # whole 2.0: exactly two copies
+        elif src == "src1":
+            assert len(eps) == 1          # fractional keep
+        elif src == "src3":
+            assert len(eps) in (1, 2)     # 1 + 25% chance of a second
+    srcs = {s for (s, _) in n_by}
+    assert "src2" not in srcs             # unlisted source dropped
+    n_src1_kept = sum(1 for (s, _) in n_by if s == "src1")
+    n_src1_all = base.filter(F.col("source") == "src1").count()
+    assert 0 < n_src1_kept < n_src1_all   # the 0.5 gate actually gates
+    # determinism: a second run yields the identical multiset
+    again = epoch_mixture(
+        base, {"src0": 2.0, "src1": 0.5, "src3": 1.25}, seed=3
+    ).select("doc_id", "source", "epoch").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_block_shuffle_is_a_permutation(spark, docs):
+    from quake3_log_analyser_spark.operators.corpus import block_shuffle
+
+    base = docs.select("doc_id")
+    n = base.count()
+    out = block_shuffle(base, n_blocks=16, seed=1)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n          # nothing lost/duped
+    by_block = {}
+    for r in rows:
+        assert 0 <= r["block"] < 16
+        by_block.setdefault(r["block"], []).append(r["pos"])
+    assert len(by_block) > 1                              # actually spreads
+    for _, ps in by_block.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense in-block rank
+    # deterministic: same (seed, key) -> same permutation
+    again = block_shuffle(base, n_blocks=16, seed=1).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed yields a different order (not a constant function)
+    other = block_shuffle(base, n_blocks=16, seed=2).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+    with pytest.raises(ValueError, match="n_blocks"):
+        block_shuffle(base, n_blocks=1000)
