@@ -617,6 +617,41 @@ def main() -> None:
         }
     )
 
+    # SemDeDup granularity pair: same 100k-vector corpus, fine (4096
+    # cells) vs coarse (1024 cells) clustering.  The claim under test is
+    # the algorithm's cost law — within-cell all-pairs work scales with
+    # E[cell size], so 4x fewer cells => ~3-4x more candidate pairs
+    # (measured by the numpy probe: ~8M vs ~25M at this size) — i.e. the
+    # n_centroids knob IS the scale lever, and a 100 TB run holds E[cell]
+    # constant by growing cells with the corpus.  Centroids are computed
+    # once outside the timed region (index-build vs query split, same as
+    # the IVF/BM25 index pairs).
+    from quake3_log_analyser_spark.operators.ann import (
+        ivf_seed_centroids,
+        semdedup,
+    )
+
+    sd_corpus = fvec.filter(F.col("vec_id") < 100_000).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    sd_cent_fine = ivf_seed_centroids(sd_corpus, 4096)
+    sd_cent_coarse = ivf_seed_centroids(sd_corpus, 1024)
+    bench_paired(
+        {
+            "semdedup_fine": lambda: semdedup(
+                sd_corpus, threshold=0.9, centroids=sd_cent_fine
+            )
+            .agg(F.count(F.lit(1)))
+            .collect(),
+            "semdedup_coarse": lambda: semdedup(
+                sd_corpus, threshold=0.9, centroids=sd_cent_coarse
+            )
+            .agg(F.count(F.lit(1)))
+            .collect(),
+        }
+    )
+
     # generic engine queries on the sf tables (one interleaved group:
     # every query in the artifact is either paired or fresh-JVM)
     qs = entrymod.queries()

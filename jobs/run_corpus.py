@@ -7,7 +7,8 @@
         --checkpoint <checkpoint table path> \
         --run-id corpus-2024-06-01 [--resume] [--verbose] \
         [--ops dedup,span_dedup,gate,lm_gate,classifier_gate,pii,\
-               decontaminate,repetition_gate,neardup,sample,chunk,pack] \
+               decontaminate,repetition_gate,neardup,sample,epoch,\
+               chunk,pack,shuffle] \
         [--benchmark <eval-set parquet path>] \
         [--min-quality 0.45] [--langs en] [--salts 8] \
         [--lm-min-avg-logp -7.0] [--lm-ref <reference-corpus parquet path>]
@@ -15,8 +16,9 @@
 Runs the selected corpus stages (exact dedup, quality/language gate,
 trigram-LM perplexity gate, PII
 redaction, benchmark decontamination, repetition gating, MinHash-LSH
-near-dup removal, deterministic sampling, chunking, sequence packing —
-the full op menu of
+near-dup removal, deterministic sampling, epoch upsampling, chunking,
+sequence packing, deterministic training-order shuffle — the full op
+menu of
 plans/corpus_run.py, mirroring the reference CLI's operation menu,
 app/src/main.rs:86-97) with stage-level checkpoint/resume and per-stage
 lineage + row metrics — the same observability the match pipeline's
@@ -48,7 +50,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated stage menu (canonical order "
                          "enforced): dedup,span_dedup,gate,lm_gate,"
                          "classifier_gate,pii,decontaminate,"
-                         "repetition_gate,neardup,sample,chunk,pack")
+                         "repetition_gate,neardup,sample,epoch,chunk,"
+                         "pack,shuffle")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet path (required by decontaminate)")
     ap.add_argument("--min-quality", type=float, default=0.45)
@@ -99,6 +102,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--source-col", default="source")
     ap.add_argument("--default-rate", type=float, default=0.0,
                     help="rate for sources absent from --mixture")
+    ap.add_argument("--epochs", default=None,
+                    help="epoch stage: per-source upsampling epochs (may "
+                         "exceed 1.0), e.g. 'wikipedia=2.5,commoncrawl=0.3'")
+    ap.add_argument("--default-epochs", type=float, default=0.0,
+                    help="epochs for sources absent from --epochs")
+    ap.add_argument("--shuffle-blocks", type=int, default=64,
+                    help="shuffle stage: hash blocks of the deterministic "
+                         "training-order permutation (1-256)")
     ap.add_argument("--chunk-tokens", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--bin-tokens", type=int, default=2048)
@@ -158,6 +169,17 @@ def main(argv: list[str] | None = None) -> None:
         ),
         source_col=args.source_col,
         default_rate=args.default_rate,
+        epoch_weights=(
+            {
+                kv.split("=", 1)[0]: float(kv.split("=", 1)[1])
+                for kv in args.epochs.split(",")
+                if kv
+            }
+            if args.epochs
+            else None
+        ),
+        default_epochs=args.default_epochs,
+        shuffle_blocks=args.shuffle_blocks,
         chunk_tokens=args.chunk_tokens, overlap=args.overlap,
         bin_tokens=args.bin_tokens, n_shards=args.n_shards,
         seed=args.seed,

@@ -29,8 +29,20 @@ operation menu (app/src/main.rs:86-97) and the match pipeline's ``--ops``:
   repetition_gate drop docs above a dup-line ratio   -> ``{out}/repetition_gated``
   neardup         MinHash-LSH near-dup drop          -> ``{out}/cleaned``
   sample          deterministic hash/mixture sample  -> ``{out}/sampled``
+  epoch           upsampling mixture (weights > 1.0,
+                  floor(e) copies + hash-gated
+                  fractional copy); rewrites the id
+                  to ``<id>@<epoch>`` so every copy
+                  keeps a distinct deterministic
+                  identity for downstream chunk/pack
+                  hashing (copies interleave instead
+                  of packing back-to-back)           -> ``{out}/upsampled``
   chunk           fixed-token overlapping windows    -> ``{out}/chunks``
   pack            token-budget bin assignment        -> ``{out}/packed``
+  shuffle         deterministic training-order
+                  permutation: adds ``(block, pos)``
+                  over the preceding stage's rows
+                  (docs, chunks, or packed bins)     -> ``{out}/shuffled``
 
 Stages always execute in the canonical order above regardless of the order
 ``ops`` lists them; each stage reads the PREVIOUS selected stage's
@@ -86,8 +98,10 @@ STAGES = (
     "repetition_gate",
     "neardup",
     "sample",
+    "epoch",
     "chunk",
     "pack",
+    "shuffle",
 )
 DEFAULT_OPS = ("dedup", "gate", "neardup")
 
@@ -102,8 +116,10 @@ _STAGE_DIRS = {
     "repetition_gate": "repetition_gated",
     "neardup": "cleaned",
     "sample": "sampled",
+    "epoch": "upsampled",
     "chunk": "chunks",
     "pack": "packed",
+    "shuffle": "shuffled",
 }
 
 
@@ -219,6 +235,9 @@ def run_corpus_resumable(
     mixture_weights: dict[str, float] | None = None,
     source_col: str = "source",
     default_rate: float = 0.0,
+    epoch_weights: dict[str, float] | None = None,
+    default_epochs: float = 0.0,
+    shuffle_blocks: int = 64,
     chunk_tokens: int = 128,
     overlap: int = 16,
     bin_tokens: int = 2048,
@@ -244,7 +263,9 @@ def run_corpus_resumable(
     """
     from ..functions.text import lang_guess, quality_score, redact_pii
     from ..operators.corpus import (
+        block_shuffle,
         contaminated_docs,
+        epoch_mixture,
         hash_sample,
         mixture_sample,
         repetition_stats,
@@ -287,6 +308,11 @@ def run_corpus_resumable(
                 "sample stage needs exactly one of sample_rate (uniform "
                 "hash sampling) or mixture_weights (per-source rates)"
             )
+    if "epoch" in selected and epoch_weights is None:
+        raise ValueError(
+            "epoch stage needs epoch_weights (per-source epoch counts, "
+            "may exceed 1.0)"
+        )
 
     ops_marker = "ops=" + ",".join(selected)
     params_marker = _params_marker(
@@ -323,6 +349,13 @@ def run_corpus_resumable(
             ),
             "source_col": source_col,
             "default_rate": default_rate,
+            "epoch_weights": (
+                tuple(sorted(epoch_weights.items()))
+                if epoch_weights is not None
+                else None
+            ),
+            "default_epochs": default_epochs,
+            "shuffle_blocks": shuffle_blocks,
             "chunk_tokens": chunk_tokens,
             "overlap": overlap,
             "bin_tokens": bin_tokens,
@@ -487,6 +520,28 @@ def run_corpus_resumable(
                     key_col=id_col, seed=seed, default_rate=default_rate,
                 )
             return hash_sample(inp, sample_rate, key_col=id_col, seed=seed)
+        if stage == "epoch":
+            if source_col not in inp.columns:
+                raise ValueError(
+                    f"epoch upsampling needs column {source_col!r}, "
+                    f"which an earlier stage's projection dropped "
+                    f"(have {inp.columns})"
+                )
+            up = epoch_mixture(
+                inp, epoch_weights, source_col=source_col,
+                key_col=id_col, seed=seed, default_epochs=default_epochs,
+            )
+            # every copy gets a distinct deterministic identity so the
+            # downstream chunk_id concat and pack's hash ordering treat
+            # copies as independent rows (they interleave across bins
+            # instead of packing back-to-back)
+            return up.withColumn(
+                id_col,
+                F.concat_ws(
+                    "@", F.col(id_col).cast("string"),
+                    F.col("epoch").cast("string"),
+                ),
+            )
         if stage == "chunk":
             return chunk_documents(
                 inp, chunk_tokens, overlap, id_col, text_col
@@ -505,6 +560,13 @@ def run_corpus_resumable(
             return pack_sequences(
                 inp, bin_tokens, n_shards, id_col=id_col, text_col=text_col,
                 seed=seed,
+            )
+        if stage == "shuffle":
+            # key on the finest surviving row identity: chunk_id when the
+            # chunk stage ran, else the (possibly epoch-rewritten) doc id
+            key = "chunk_id" if "chunk_id" in inp.columns else id_col
+            return block_shuffle(
+                inp, n_blocks=shuffle_blocks, key_col=key, seed=seed
             )
         raise AssertionError(stage)
 

@@ -202,3 +202,43 @@ def test_clean_corpus_actually_drops_docs(oracle_results):
     kept = len(oracle_results["clean_corpus"][1])
     total = len(oracle_results["fingerprints"][1])
     assert 0 < kept < total, f"pipeline kept {kept}/{total} — no gate fired"
+
+
+def test_semdedup_drops_some_but_not_all_injected(oracle_results):
+    """Both branches: some injected perturbed copies (id >= 100000) clear
+    the 0.9 in-cell cosine bar and are dropped; others land cross-cell or
+    sub-threshold and survive."""
+    dropped = col(oracle_results["semdedup"], "dropped_id")
+    kept = col(oracle_results["semdedup"], "kept_id")
+    injected_dropped = [d for d in dropped if d >= 100000]
+    assert injected_dropped, "no injected near-dup was dropped"
+    assert len(injected_dropped) < 20, (
+        "every injected copy dropped — threshold branch never exercised"
+    )
+    # keep-min: the survivor of an injected copy is its exact original
+    assert any(k == d - 100000 for d, k in zip(dropped, kept))
+
+
+def test_epoch_mixture_upsamples_and_gates(oracle_results):
+    rows = oracle_results["epoch_mixture"][1]
+    cols = oracle_results["epoch_mixture"][0]
+    src_i, ep_i = cols.index("source"), cols.index("epoch")
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r[src_i], []).append(r[ep_i])
+    assert max(by_src["src0"]) == 2, "no src0 doc won the 0.5 fractional copy"
+    assert min(by_src["src0"]) == 0 and 1 in by_src["src0"]
+    assert set(by_src["src1"]) == {0}, "src1 rate 0.25 must emit epoch-0 only"
+    assert "src3" not in by_src, "unlisted source must be dropped"
+
+
+def test_block_shuffle_spreads_and_ranks(oracle_results):
+    rows = oracle_results["block_shuffle"][1]
+    cols = oracle_results["block_shuffle"][0]
+    b_i, p_i = cols.index("block"), cols.index("pos")
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r[b_i], []).append(r[p_i])
+    assert len(by_block) >= 16, "hash blocks must actually spread"
+    for ps in by_block.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

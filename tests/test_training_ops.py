@@ -1936,3 +1936,90 @@ def test_block_shuffle_is_a_permutation(spark, docs):
 
     with pytest.raises(ValueError, match="n_blocks"):
         block_shuffle(base, n_blocks=1000)
+
+
+def test_corpus_job_epoch_and_shuffle_stages(spark, tmp_path):
+    """The upsampling (epoch) and training-order (shuffle) stages run
+    end-to-end through the CLI: wiki docs at 2.0 epochs appear exactly
+    twice with '@epoch' identities, cc docs at 0.5 are hash-gated, and
+    the final shuffle emits a dense (block, pos) permutation of the
+    packed rows.  A restart is a no-op."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import run_corpus
+
+    from quake3_log_analyser_spark.plans.corpus_run import run_corpus_resumable
+
+    rows = [
+        (
+            i,
+            f"document {i} body with several plain english filler words "
+            f"to give the chunker something to cut number {i}",
+            "wiki" if i % 2 else "cc",
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_corpus.main([
+        "--input", docs_path, "--output", out, "--checkpoint", ckpt,
+        "--run-id", "ep1", "--resume",
+        "--ops", "epoch,chunk,pack,shuffle",
+        "--epochs", "wiki=2.0,cc=0.5",
+        "--chunk-tokens", "8", "--overlap", "2",
+        "--bin-tokens", "32", "--n-shards", "2",
+        "--shuffle-blocks", "8",
+    ])
+
+    up = spark.read.parquet(f"{out}/upsampled").collect()
+    by_orig: dict[str, list[str]] = {}
+    for r in up:
+        base, _, ep = r["doc_id"].partition("@")
+        by_orig.setdefault((r["source"], base), []).append(ep)
+    for (src, _), eps in by_orig.items():
+        if src == "wiki":
+            assert sorted(eps) == ["0", "1"]   # 2.0 epochs: exactly two copies
+        else:
+            assert eps == ["0"]                # fractional keep, single copy
+    n_cc_kept = sum(1 for (s, _) in by_orig if s == "cc")
+    assert 0 < n_cc_kept < 20                  # the 0.5 gate actually gates
+
+    shuffled = spark.read.parquet(f"{out}/shuffled")
+    packed_n = spark.read.parquet(f"{out}/packed").count()
+    srows = shuffled.collect()
+    assert len(srows) == packed_n              # shuffle is a pure reorder
+    by_block: dict[int, list[int]] = {}
+    for r in srows:
+        assert 0 <= r["block"] < 8
+        by_block.setdefault(r["block"], []).append(r["pos"])
+    assert len(by_block) > 1
+    for ps in by_block.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    # copies of the same wiki doc get DISTINCT identities end-to-end:
+    # chunk ids carry the epoch suffix, so no chunk_id collides
+    chunk_ids = [r["chunk_id"] for r in spark.read.parquet(f"{out}/chunks").collect()]
+    assert len(chunk_ids) == len(set(chunk_ids))
+    assert any("@1#" in c for c in chunk_ids)
+
+    # idempotent restart
+    assert run_corpus_resumable(
+        spark, docs, out, ckpt, run_id="ep2",
+        ops=("epoch", "chunk", "pack", "shuffle"),
+        epoch_weights={"wiki": 2.0, "cc": 0.5},
+        chunk_tokens=8, overlap=2, bin_tokens=32, n_shards=2,
+        shuffle_blocks=8,
+    ) == []
+
+    # the epoch stage refuses to run without weights
+    with pytest.raises(ValueError, match="epoch_weights"):
+        run_corpus_resumable(
+            spark, docs, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            run_id="ep3", ops=("epoch",),
+        )
