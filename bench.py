@@ -617,26 +617,44 @@ def main() -> None:
         }
     )
 
-    # SemDeDup granularity pair: same 100k-vector corpus, fine (4096
-    # cells) vs coarse (1024 cells) clustering.  The claim under test is
-    # the algorithm's cost law — within-cell all-pairs work scales with
-    # E[cell size], so 4x fewer cells => ~3-4x more candidate pairs
-    # (measured by the numpy probe: ~8M vs ~25M at this size) — i.e. the
-    # n_centroids knob IS the scale lever, and a 100 TB run holds E[cell]
-    # constant by growing cells with the corpus.  Centroids are computed
-    # once outside the timed region (index-build vs query split, same as
-    # the IVF/BM25 index pairs).
+    # SemDeDup pair: 25k vectors, 512 vs 128 cells.  SIZING NOTE (measured
+    # before committing this group): the sin-vector family is
+    # pathologically self-similar — ~97% of rows have a >= 0.9 in-cell
+    # neighbor at ANY granularity — so in-cell pair volume is huge
+    # relative to a real corpus (1-30% near-dup), and at 100k vectors the
+    # group ran MINUTES per rep (the 4096-cell assignment alone is
+    # ~50 Gflop of per-worker BLAS against this box's DRAM ceiling).  At
+    # 25k the two granularities TIE (~5-6 s: fixed stage overhead +
+    # assignment dominate, pair volume saturates) — the pair is kept to
+    # pin semdedup's absolute cost round-over-round, not to prove the
+    # granularity law here; the law (pairs scale with sum(cell^2), so
+    # n_centroids grows with the corpus to hold E[cell] constant) is the
+    # operator's docstring contract and the numpy probe's result,
+    # re-measured if the vector family ever changes.  Centroids are
+    # seeded outside the timed region (index-build vs query split, same
+    # as the IVF/BM25 pairs).
     from quake3_log_analyser_spark.operators.ann import (
         ivf_seed_centroids,
         semdedup,
     )
 
-    sd_corpus = fvec.filter(F.col("vec_id") < 100_000).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    # repartition after the id filter: the 25k survivors live in the
+    # first ~2 of the table's 64 file partitions, which would run the
+    # assignment UDF on straggler tasks (measured at 100k: the whole
+    # pair serialized behind 4 tasks) — an even spread is also the
+    # honest shape, since a real corpus arrives evenly partitioned
+    sd_corpus = (
+        fvec.filter(F.col("vec_id") < 25_000)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .repartition(CPUS)
     )
-    sd_cent_fine = ivf_seed_centroids(sd_corpus, 4096)
-    sd_cent_coarse = ivf_seed_centroids(sd_corpus, 1024)
+    sd_cent_fine = ivf_seed_centroids(sd_corpus, 512)
+    sd_cent_coarse = ivf_seed_centroids(sd_corpus, 128)
     bench_paired(
         {
             "semdedup_fine": lambda: semdedup(

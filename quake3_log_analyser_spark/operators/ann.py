@@ -319,11 +319,20 @@ def ivf_cells(vec_col, centroids: np.ndarray, nprobe: int = 1):
         vals: list = [None] * len(vecs)
         if mask.any():
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
-            sims = (mat @ cent.T) / (
-                np.linalg.norm(mat, axis=1)[:, None] * cent_norm[None, :]
+            sims = np.round(
+                (mat @ cent.T)
+                / (np.linalg.norm(mat, axis=1)[:, None] * cent_norm[None, :]),
+                6,
             )
-            order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
-            picked = order[:, :nprobe].astype("int32")
+            if nprobe == 1:
+                # argmax returns the FIRST index among exact ties — the
+                # same (rounded-cosine DESC, cell id ASC) rule as the
+                # argsort below, without the O(c log c)-per-row full sort
+                # (measured: the sort dominated assignment at 4k cells)
+                picked = np.argmax(sims, axis=1).astype("int32")[:, None]
+            else:
+                order = np.argsort(-sims, axis=1, kind="stable")
+                picked = order[:, :nprobe].astype("int32")
             j = 0
             for i in np.flatnonzero(mask):
                 vals[i] = picked[j].tolist()
