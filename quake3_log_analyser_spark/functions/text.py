@@ -207,7 +207,20 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (for Jaccard / MinHash).  The token
     array is bound once per row (``bind_once``) — slicing it inside the
     per-window lambda would otherwise re-tokenize the document per
-    window, O(len^2)."""
+    window, O(len^2).
+
+    ``n == 1`` short-circuits to ``array_distinct`` over the lowered
+    tokens: a 1-gram IS the token, so the generic
+    ``transform(sequence(...), slice + concat_ws)`` window builder — an
+    interpreted higher-order chain allocating a slice per token — is pure
+    overhead (measured r7: 5.9 s -> 0.6 s for the 200k-doc neardup
+    shingle pass).  Identical output: ``concat_ws(" ", slice(toks, i,
+    1)) == toks[i]`` and ``array_distinct`` keeps first-occurrence order
+    either way."""
+    if n == 1:
+        return F.array_distinct(
+            F.transform(ws_tokens(text), lambda w: F.lower(w))
+        )
 
     def _grams(toks: Column) -> Column:
         k = F.size(toks)

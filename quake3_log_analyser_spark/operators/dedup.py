@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     fingerprint_md5,
-    minhash_signature,
     word_ngrams,
     ws_tokens,
 )
@@ -161,6 +160,62 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     ).filter(F.size("grams") > 0)
 
 
+def _minhash_hex(col, seed: int):
+    """The 15-hex-char (60-bit) prefix of ``md5('seed<i>:' ++ gram)`` —
+    the STRING form of ``functions.text.minhash_hash`` before its
+    base-16 -> base-10 ``conv``.  Kept as hex through the min-aggregation
+    (see ``_doc_min_hex``); ``conv`` runs once per (doc, seed) after the
+    agg instead of once per gram occurrence."""
+    return F.substring(F.md5(F.concat(F.lit(f"seed{seed}:"), col)), 1, 15)
+
+
+def _doc_min_hex(shingled: DataFrame, n_hashes: int) -> DataFrame:
+    """Per-document MinHash signature as ``(doc_id, _s0.._s{n-1})`` — the
+    per-seed MIN of the 15-hex-char hash prefix over the doc's grams.
+
+    This is ``minhash_signature`` restructured for codegen (round-7):
+    the per-doc higher-order form (16 x ``array_min(transform(grams,
+    md5+conv))``) evaluates interpreted — CodegenFallback per element,
+    one conv per gram occurrence per seed.  Exploding the grams and
+    hashing them as 16 plain projections keeps the whole pass in
+    whole-stage codegen, and the per-doc min is a partial-aggregable
+    hash aggregate (map-side combine, near-nothing shuffled).  Measured
+    on the 200k-doc neardup bench: the banding pass drops 11.5 s ->
+    ~3.5 s with byte-identical (doc_id, band, bucket) output (pinned in
+    tests).
+
+    Correctness of the hex-string min: md5 hex is fixed-length lowercase
+    ('0'-'9' < 'a'-'f' in UTF-8), so lexicographic order == numeric
+    order and ``min(hex) == hex_of(min)``; ``conv(hex, 16, 10)`` after
+    the agg therefore equals the old per-gram ``conv`` + ``array_min``.
+    Docs with empty gram sets simply vanish at the explode — the same
+    net effect as the NULL-signature rule (``_shingled`` already filters
+    them out upstream)."""
+    tok = shingled.select("doc_id", F.explode("grams").alias("_g"))
+    scols = [_minhash_hex(F.col("_g"), i).alias(f"_s{i}") for i in range(n_hashes)]
+    return tok.select("doc_id", *scols).groupBy("doc_id").agg(
+        *[F.min(f"_s{i}").alias(f"_s{i}") for i in range(n_hashes)]
+    )
+
+
+def _band_structs(n_hashes: int, bands: int) -> list:
+    """Band/bucket structs over a ``_doc_min_hex`` row: bucket is the
+    band's signature values base-10-rendered and comma-joined — exactly
+    the old ``concat_ws(",", slice(sig, ...))`` key (``conv`` emits the
+    same digits ``cast(long as string)`` did)."""
+    rows = n_hashes // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.conv(F.col(f"_s{b * rows + r}"), 16, 10) for r in range(rows)],
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+
+
 def _banded_minhash(
     shingled: DataFrame,
     n_hashes: int,
@@ -171,27 +226,10 @@ def _banded_minhash(
     the within-corpus (``minhash_lsh_pairs``) and cross-corpus
     (``neardup_against``) paths so both sides of a cross join are banded
     with the SAME seeds and the same slice-string bucket keys."""
-    rows = n_hashes // bands
-    sig = shingled.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
+    sig = _doc_min_hex(shingled, n_hashes)
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*_band_structs(n_hashes, bands))).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
@@ -268,12 +306,14 @@ def minhash_lsh_pairs(
     that appear in a candidate pair (semi-join on the raw table first),
     so the recompute is O(docs-in-pairs), not a second full-corpus
     tokenize.  Measured (bench.py ``lsh_pairs_slim`` vs
-    ``lsh_pairs_carry``): the forms tie within this box's noise at both
-    light (40-token) and heavy (160-token, bands=8) gram regimes —
-    locally the minhash signature compute dominates and shuffle is
-    DRAM-speed; the slim form is the default because its advantage
-    (bands x gram_bytes less shuffle) prices in network/disk shuffle,
-    which this single box cannot exhibit.
+    ``lsh_pairs_carry``, round-7 in-session medians on the 200k-doc
+    corpus): slim 5.2 s vs carry 4.6 s — carry is ~12% faster on this
+    single box, where shuffle is DRAM-speed and the slim form pays one
+    extra join-back for the verify.  Slim stays the default because its
+    advantage — bands x gram_bytes LESS candidate-join shuffle — prices
+    in network/disk shuffle, which a single box cannot exhibit: at
+    cluster scale the carry form ships every doc's gram payload ``bands``
+    times through the exchange while slim ships ids only.
 
     The band bucket key is the band's signature values joined as a string
     (NOT a re-hash of the slice): buckets collide exactly when the slices
@@ -317,34 +357,27 @@ def minhash_lsh_pairs_carry(
     """The round-5 gram-carrying LSH form, kept as the bench comparison
     twin of ``minhash_lsh_pairs``: every banded row carries the doc's full
     gram array through the candidate join, so the verify needs no
-    join-back — fewer joins, but shuffle volume O(corpus x bands x
-    gram_bytes).  Identical output to ``minhash_lsh_pairs`` by
-    construction (pinned in tests).  Prefer the slim form everywhere; this
-    one can win only when gram arrays are tiny and pairs are dense."""
-    rows = n_hashes // bands
+    join-back — but shuffle volume O(corpus x bands x gram_bytes).
+    Identical output to ``minhash_lsh_pairs`` by construction (pinned in
+    tests).  Prefer the slim form everywhere; this one can win only when
+    gram arrays are tiny and pairs are dense.
+
+    The signature rides the same codegen ``_doc_min_hex`` aggregation as
+    the slim form (round-7) and the gram arrays are joined back on
+    ``doc_id`` before banding — one cheap extra join, after which the
+    grams ride every banded row through the candidate join exactly as
+    before."""
     sh = _shingled(df, text_col, id_col, n)
-    sig = sh.withColumn("sig", minhash_signature(F.col("grams"), n_hashes))
-    banded = sig.select(
-        "doc_id",
-        "grams",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", bi * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "grams", "bb.band", "bb.bucket")
+    banded = (
+        _doc_min_hex(sh, n_hashes)
+        .join(sh, "doc_id")
+        .select(
+            "doc_id",
+            "grams",
+            F.explode(F.array(*_band_structs(n_hashes, bands))).alias("bb"),
+        )
+        .select("doc_id", "grams", "bb.band", "bb.bucket")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
