@@ -781,30 +781,38 @@ def duplicated_spans(
     def _windows(toks):
         # toks is a BOUND lambda variable (bind_once): referencing the
         # raw tokenize expression here would re-split the text per
-        # window, O(len^2) — measured 3.2x on the 12M-window bench
+        # window, O(len^2) — measured 3.2x on the 12M-window bench.
+        # The window key reads its n tokens through n element_at calls,
+        # NOT F.slice: the slice allocates a GenericArrayData per window
+        # in this interpreted higher-order chain, and xxhash64 /
+        # concat_ws over n scalar args produce byte-identical values to
+        # the array form (xxhash64 seed-chains its children exactly as
+        # it chains array elements; concat_ws flattens) — measured r7:
+        # 3.4 s -> 0.8 s for the 15.6M-window build, parity-pinned in
+        # tests.  Positions are implicit (posexplode below), so the
+        # window array is a flat array<bigint>, no per-window struct.
         k = F.size(toks)
         if gram_hash == "fast":
-            key = lambda i: F.xxhash64(F.slice(toks, i, n))  # noqa: E731
+            key = lambda i: F.xxhash64(  # noqa: E731
+                *[F.element_at(toks, i + j) for j in range(n)]
+            )
         else:
             key = lambda i: hash60(  # noqa: E731
-                F.concat_ws(" ", F.slice(toks, i, n))
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
             )
-        empty = F.array().cast("array<struct<pos:int,gram_h:bigint>>")
+        empty = F.array().cast("array<bigint>")
         return F.when(k < n, empty).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), k - n + 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"), key(i).alias("gram_h")
-                ),
-            )
+            F.transform(F.sequence(F.lit(1), k - n + 1), lambda i: key(i))
         )
 
     windows = bind_once(
         F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w)), _windows
     )
     win = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(windows).alias("w")
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_h").alias("gram_h"))
+        F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("_p0", "gram_h")
+    ).select(
+        "doc_id", (F.col("_p0") + 1).cast("int").alias("pos"), "gram_h"
+    )
     if min_docs == 2:
         # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
         # cheap partial-aggregable min/max instead of the two-phase
