@@ -46,6 +46,57 @@ def _norm(a):
     )
 
 
+# Width for the codegen'd unrolled dot/norm fast path (round-7): the
+# higher-order ``aggregate(zip_with(...))`` fold is CodegenFallback —
+# interpreted per element, one GenericArrayData per pair — which made the
+# per-pair score the dominant cost of every brute-force/rerank path
+# (measured: 2.3M semdedup pairs spent ~2.9 s in cosine alone).  For rows
+# of exactly this width the score is computed as an unrolled
+# ``lit(0.0) + a[1]*b[1] + ... + a[d]*b[d]`` chain — the IDENTICAL
+# left-associated float operation sequence the fold performs (same
+# Catalyst type coercions, same 0.0 seed), so results are bit-equal (the
+# oracle gate pins this); any other width falls back to the generic fold.
+_UNROLL_DIM = 64
+
+
+def _dot_fast(a, b):
+    s = F.lit(0.0)
+    for i in range(1, _UNROLL_DIM + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), s
+    ).otherwise(_dot(a, b))
+
+
+def _norm_fast(a):
+    s = F.lit(0.0)
+    for i in range(1, _UNROLL_DIM + 1):
+        e = F.element_at(a, i)
+        s = s + e * e
+    return F.when(F.size(a) == _UNROLL_DIM, F.sqrt(s)).otherwise(_norm(a))
+
+
+def _idot_fast(a, b):
+    s = F.lit(0).cast("long")
+    for i in range(1, _UNROLL_DIM + 1):
+        s = s + F.element_at(a, i).cast("long") * F.element_at(b, i).cast("long")
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), s
+    ).otherwise(_idot(a, b))
+
+
+def _pushdown_fence(col):
+    """Round-7 §4.4 guard: wrap a Python-UDF-derived column in an
+    always-true non-deterministic branch so PushDownPredicates cannot
+    substitute filters below the projection.  Without it, a join/filter
+    on the column (even the join's implicit ``isnotnull``) re-inlines the
+    UDF below the pushed predicate and the batch evaluates TWICE — the
+    guide's duplicated-BatchEvalPython failure, observed as 4
+    ArrowEvalPython nodes in semdedup's plan.  Same trick as the expr
+    parser fence in plans/pipeline.py; costs one long compare per row."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
     ca, cb = F.col(a), F.col(b)
     return df.withColumn(
@@ -67,16 +118,28 @@ def cosine_topk(
     shape); the corpus side streams through one codegen'd stage, then a
     per-query rank window keeps k rows.
     """
+    # norms are per-ROW projections (identical doubles), not per-pair
+    # folds: with |queries| probes every corpus row previously re-folded
+    # its norm once per probe inside the scored projection
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm_fast(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm_fast(F.col(vec_col)).alias("_cn"),
+    )
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.withColumn(
         "cosine",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+        (
+            _dot_fast(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn"))
+        ).cast("double"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -215,8 +278,8 @@ def lsh_cosine_topk(
     scored = cands.withColumn(
         "cosine",
         (
-            _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
-            / (_norm(F.col("query_id_vec")) * _norm(F.col("neighbor_id_vec")))
+            _dot_fast(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+            / (_norm_fast(F.col("query_id_vec")) * _norm_fast(F.col("neighbor_id_vec")))
         ).cast("double"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -283,7 +346,10 @@ def embedding_near_dups(
     )
     scored = cands.withColumn(
         "cosine",
-        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).cast("double"),
+        (
+            _dot_fast(F.col("va"), F.col("vb"))
+            / (_norm_fast(F.col("va")) * _norm_fast(F.col("vb")))
+        ).cast("double"),
     )
     return scored.filter(F.col("cosine") >= threshold).select(
         "doc_a", "doc_b", "cosine"
@@ -428,8 +494,8 @@ def _ivf_probe_rerank(cells: DataFrame, probes, k: int) -> DataFrame:
     scored = cands.withColumn(
         "cosine",
         (
-            _dot(F.col("qvec"), F.col("nvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("nvec")))
+            _dot_fast(F.col("qvec"), F.col("nvec"))
+            / (_norm_fast(F.col("qvec")) * _norm_fast(F.col("nvec")))
         ).cast("double"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -589,21 +655,28 @@ def quantized_cosine_topk(
     """
     qz_q = queries if pre_quantized else quantize_int8(queries, vec_col=vec_col)
     qz_c = corpus if pre_quantized else quantize_int8(corpus, vec_col=vec_col)
+    # per-row self-dot norms (exact integers — identical under any
+    # evaluation point), not per-pair: see cosine_topk
     q = F.broadcast(
-        qz_q.select(F.col(id_col).alias("query_id"), F.col("q_embedding").alias("qq"))
+        qz_q.select(
+            F.col(id_col).alias("query_id"),
+            F.col("q_embedding").alias("qq"),
+            F.sqrt(_idot_fast(F.col("q_embedding"), F.col("q_embedding"))).alias("_qn"),
+        )
     )
-    c = qz_c.select(F.col(id_col).alias("neighbor_id"), F.col("q_embedding").alias("cq"))
+    c = qz_c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q_embedding").alias("cq"),
+        F.sqrt(_idot_fast(F.col("q_embedding"), F.col("q_embedding"))).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "qcosine",
             (
-                _idot(F.col("qq"), F.col("cq"))
-                / (
-                    F.sqrt(_idot(F.col("qq"), F.col("qq")))
-                    * F.sqrt(_idot(F.col("cq"), F.col("cq")))
-                )
+                _idot_fast(F.col("qq"), F.col("cq"))
+                / (F.col("_qn") * F.col("_cn"))
             ).cast("double"),
         )
     )
@@ -660,20 +733,47 @@ def semdedup(
     )
     if centroids is None:
         centroids = ivf_seed_centroids(as_double, n_centroids, "_id", "_v")
+    # round-7 physical shape, same rows: (1) the cell column is pushdown-
+    # fenced so the self-join's isnotnull null-rejection cannot re-inline
+    # the assignment UDF below it (it previously evaluated FOUR times —
+    # twice per branch); (2) ONE repartition by cell feeds both join
+    # sides, so the assignment + exchange subtree is shared (AQE reuses
+    # the materialized stage) and the join needs no further exchange;
+    # (3) the vector norm is computed once per VECTOR here, not twice
+    # per candidate PAIR — same expression, same double, O(corpus)
+    # instead of O(pairs) sqrt-folds.
     cells = as_double.select(
-        "_id", "_v", ivf_cells(F.col("_v"), centroids, 1)[0].alias("cell")
-    )
+        "_id",
+        "_v",
+        _pushdown_fence(ivf_cells(F.col("_v"), centroids, 1)[0]).alias("cell"),
+        _norm_fast(F.col("_v")).alias("_nrm"),
+    ).repartition("cell")
     a = cells.select(
-        F.col("_id").alias("kept_cand"), F.col("_v").alias("_va"), "cell"
+        F.col("_id").alias("kept_cand"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "cell",
     )
     b = cells.select(
-        F.col("_id").alias("dropped_id"), F.col("_v").alias("_vb"), "cell"
+        F.col("_id").alias("dropped_id"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "cell",
     )
-    pairs = with_cosine(
-        a.join(b, "cell").filter(F.col("kept_cand") < F.col("dropped_id")),
-        "_va",
-        "_vb",
-    ).withColumn("cosine", F.round("cosine", round_digits))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("kept_cand") < F.col("dropped_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                (
+                    _dot_fast(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb"))
+                ).cast("double"),
+                round_digits,
+            ),
+        )
+    )
     return (
         pairs.filter(F.col("cosine") >= threshold)
         .groupBy("dropped_id", "cell")
