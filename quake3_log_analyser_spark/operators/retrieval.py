@@ -111,9 +111,19 @@ def bm25_scores(
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # filter INSIDE the array before exploding (round-7): the explode of
+    # every corpus token generated O(corpus tokens) rows only for the
+    # scan-side isin to drop ~all of them; filtering the array first
+    # explodes O(matching postings) rows (measured: 2.75 -> 2.0 s on the
+    # 400k-doc brute query, identical output)
     tf = (
-        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("_toks", lambda t: t.isin(terms))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -99,6 +99,26 @@ def get_spark(
         # report the (conv_id, turn_idx) sort order of one-file-per-bucket
         # bucketed tables so the sessionize window skips its Sort entirely
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # v2 file-output commit: tasks move their files into the final
+        # directory at task-commit time instead of the driver serially
+        # renaming every file at job commit — the fan-out sink write
+        # (tasks x sinks files) is commit-bound, not byte-bound (17 MB in
+        # ~320 files locally; at cluster scale the v1 driver rename loop
+        # grows with total file count while v2 stays parallel).  The
+        # weaker job-level atomicity is the standard trade on
+        # HDFS-semantics filesystems; object-store deployments should
+        # swap in a manifest committer via SPARK_GRAFT_COMMIT_ALGO.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            os.environ.get("SPARK_GRAFT_COMMIT_ALGO", "2"),
+        )
+        # zstd parquet output (guide §6): markedly better ratio than
+        # snappy at similar decode speed — fewer bytes written/stored/
+        # rescanned for every materialized sink and index
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # single-node shuffle through the (slow, ~200 MB/s) VM disk is the
