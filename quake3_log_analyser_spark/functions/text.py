@@ -223,12 +223,18 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
         )
 
     def _grams(toks: Column) -> Column:
+        # per-window tokens via n element_at reads, NOT F.slice: the
+        # slice allocates an array per window inside this interpreted
+        # higher-order chain, and concat_ws over n scalar args builds
+        # the identical gram string (r7; same trick as duplicated_spans)
         k = F.size(toks)
         return F.array_distinct(
             F.when(k < n, F.array().cast("array<string>")).otherwise(
                 F.transform(
                     F.sequence(F.lit(1), k - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
                 )
             )
         )
@@ -259,6 +265,8 @@ def positional_word_ngrams(text: Column, n: int) -> Column:
     substring-level dedup needs every occurrence AND where it sits."""
 
     def _grams(toks: Column) -> Column:
+        # element_at instead of slice+concat over the slice — identical
+        # gram strings, no per-window array allocation (see word_ngrams)
         k = F.size(toks)
         empty = F.array().cast("array<struct<pos:int,gram:string>>")
         return F.when(k < n, empty).otherwise(
@@ -266,7 +274,9 @@ def positional_word_ngrams(text: Column, n: int) -> Column:
                 F.sequence(F.lit(1), k - n + 1),
                 lambda i: F.struct(
                     i.cast("int").alias("pos"),
-                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ).alias("gram"),
                 ),
             )
         )

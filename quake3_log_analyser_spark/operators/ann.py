@@ -370,6 +370,17 @@ def ivf_cells(vec_col, centroids: np.ndarray, nprobe: int = 1):
     """
     cent = np.asarray(centroids, dtype=np.float64)
     cent_norm = np.linalg.norm(cent, axis=1)
+    if cent.size and not (cent_norm > 0).all():
+        # r6 ADVICE: a zero-norm centroid row (impossible via
+        # ivf_seed_centroids, possible for a caller-supplied matrix)
+        # yields an all-NaN similarity column; np.argmax would then pick
+        # the first NaN index (the zero centroid wins every row) while
+        # the argsort path sorts NaNs last — fail loudly instead of
+        # diverging between the nprobe=1 fast path and the general path
+        raise ValueError(
+            "ivf_cells: centroid matrix contains a zero-norm row — a "
+            "zero vector has no cosine direction and cannot quantize"
+        )
 
     @F.pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
