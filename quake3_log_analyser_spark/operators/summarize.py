@@ -323,15 +323,20 @@ def summarize_multi(
                 ),
             )
         )
+    # explode the raw entry array and drop the null slots AFTER the
+    # explode (r7): the element-level F.filter is an interpreted
+    # higher-order chain over per-row struct allocations, while the
+    # post-explode null filter is plain codegen — identical rows
+    # (explode emits null elements as rows; the filter removes exactly
+    # the slots the array filter removed).  Measured: multiop 2.5 ->
+    # 1.9 s at sf0.1.
     exploded = relevant.select(
         "conv_id",
         "match_id",
         F.col("is_match_end").alias("completed"),
         ((et == "Exit") & in_game).alias("graceful"),
-        F.explode(
-            F.filter(F.array(*entries), lambda e: e.isNotNull())
-        ).alias("e"),
-    )
+        F.explode(F.array(*entries)).alias("e"),
+    ).filter(F.col("e").isNotNull())
     # flags ride every exploded row of a match (max is idempotent), so no
     # separate control branch is needed; a Kill row's 2 entries are
     # condensed by the map-side partial aggregate before the (absent)
