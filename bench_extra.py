@@ -125,6 +125,43 @@ def build_groups(spark):
         .collect(),
     }
 
+    # --- r6-new corpus ops at 400k docs (r6 verdict Next #7: these had
+    # oracle rows but no at-scale cost record; bench.py is frozen, so the
+    # measured numbers live here and in OPTIMIZATION_r07.md) -------------
+    from quake3_log_analyser_spark.operators.corpus import (
+        block_shuffle,
+        classifier_score,
+        epoch_mixture,
+        train_classifier,
+    )
+
+    src_docs = span_docs.withColumn(
+        "source",
+        F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string")),
+    )
+    ep_weights = {"s0": 1.5, "s1": 0.3, "s2": 2.0, "s3": 1.0}
+    lab_docs = span_docs.filter(F.col("doc_id") < 20_000).withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    groups["corpus400k"] = {
+        "epoch_mixture_400k": lambda: epoch_mixture(
+            src_docs, ep_weights
+        ).agg(F.count(F.lit(1)), F.sum("epoch")).collect(),
+        "block_shuffle_400k": lambda: block_shuffle(
+            span_docs, n_blocks=64
+        ).agg(F.count(F.lit(1)), F.max("pos")).collect(),
+        "classifier_train_20k": lambda: train_classifier(
+            lab_docs, epochs=2
+        ).agg(F.count(F.lit(1))).collect(),
+        "classifier_score_400k": lambda: classifier_score(
+            span_docs,
+            spark.range(1000).select(
+                F.col("id").alias("bucket"),
+                (F.col("id") % 7 / 3.0 - 1.0).alias("weight"),
+            ),
+        ).agg(F.count(F.lit(1)), F.sum("score")).collect(),
+    }
+
     # --- generic engine queries -------------------------------------------
     import __spark_entry__ as entrymod
 

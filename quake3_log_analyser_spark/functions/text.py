@@ -264,6 +264,18 @@ def positional_word_ngrams(text: Column, n: int) -> Column:
     token.  ``word_ngrams`` deduplicates (right for set-similarity);
     substring-level dedup needs every occurrence AND where it sits."""
 
+    if n == 1:
+        # a positional 1-gram IS (index+1, token): the two-param
+        # transform lambda receives the element index directly, skipping
+        # the sequence + per-window element_at machinery (r7; identical
+        # rows — pos is 1-based, gram the lowered token)
+        return F.transform(
+            F.transform(ws_tokens(text), lambda w: F.lower(w)),
+            lambda w, i: F.struct(
+                (i + 1).cast("int").alias("pos"), w.alias("gram")
+            ),
+        )
+
     def _grams(toks: Column) -> Column:
         # element_at instead of slice+concat over the slice — identical
         # gram strings, no per-window array allocation (see word_ngrams)

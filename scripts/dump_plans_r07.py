@@ -52,6 +52,19 @@ from quake3_log_analyser_spark.operators.ann import (  # noqa: E402
     semdedup,
 )
 
+from quake3_log_analyser_spark.plans.pipeline import summarize_matches  # noqa: E402
+from quake3_log_analyser_spark.schemas import TRANSCRIPT_SCHEMA  # noqa: E402
+
+orders_rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+tpath = bench.ensure_transcripts(spark, Path(SF_DIR).name, orders_rows * 10)
+transcripts = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tpath)
+dump(
+    "pipeline_multiop",
+    summarize_matches(
+        transcripts, ops={"kills", "means_of_death", "reported_scores"}
+    ),
+)
+
 nd_docs = spark.read.parquet(ensure_neardup_docs(spark))
 dump("lsh_pairs_slim", minhash_lsh_pairs(nd_docs, n=1, n_hashes=16, bands=4, threshold=0.7))
 dump("lsh_pairs_carry", minhash_lsh_pairs_carry(nd_docs, n=1, n_hashes=16, bands=4, threshold=0.7))
