@@ -54,37 +54,44 @@ def sessionize(df: DataFrame) -> DataFrame:
 
     et = F.col("event_type")
     marker = F.when(et.isin("InitGame", "ShutdownGame"), et)
-    in_game_before = F.coalesce(
-        F.last(marker, ignorenulls=True).over(w_excl) == "InitGame", F.lit(False)
+    # ONE windowed aggregate per frame (r7): the prior form inlined the
+    # exclusive-frame last() expression into is_match_start AND
+    # is_match_end, which Catalyst materialized as two identical window
+    # expressions, and computed in_game as a SECOND windowed last over
+    # the inclusive frame.  Materializing `_igb` once and deriving
+    # in_game in a plain projection (last-incl == the row's own marker
+    # when present, else last-excl — the definition of last ignorenulls)
+    # leaves each Window operator evaluating a single function.
+    df = df.withColumn(
+        "_igb",
+        F.coalesce(
+            F.last(marker, ignorenulls=True).over(w_excl) == "InitGame",
+            F.lit(False),
+        ),
     )
-
-    is_start = (et == "InitGame") & ~in_game_before
-    is_end = (et == "ShutdownGame") & in_game_before
-
     df = df.withColumns(
         {
-            "_in_game_before": in_game_before,
-            "is_match_start": F.coalesce(is_start, F.lit(False)),
-            "is_match_end": F.coalesce(is_end, F.lit(False)),
-        }
-    )
-    df = df.withColumns(
-        {
-            "match_id": F.sum(F.col("is_match_start").cast("int"))
-            .over(w_incl)
-            .cast("int"),
-            "in_game": F.coalesce(
-                F.last(marker, ignorenulls=True).over(w_incl) == "InitGame",
-                F.lit(False),
+            "is_match_start": F.coalesce(
+                (et == "InitGame") & ~F.col("_igb"), F.lit(False)
             ),
+            "is_match_end": F.coalesce(
+                (et == "ShutdownGame") & F.col("_igb"), F.lit(False)
+            ),
+            "in_game": F.when(
+                marker.isNotNull(), marker == "InitGame"
+            ).otherwise(F.col("_igb")),
             "violation": F.when(
-                (et == "InitGame") & F.col("_in_game_before"), F.lit(V_DOUBLE_INIT)
+                (et == "InitGame") & F.col("_igb"), F.lit(V_DOUBLE_INIT)
             ).when(
-                et.isin("Exit", "ShutdownGame") & ~F.col("_in_game_before"),
+                et.isin("Exit", "ShutdownGame") & ~F.col("_igb"),
                 F.lit(V_GAME_NOT_STARTED),
             ),
         }
-    ).drop("_in_game_before")
+    )
+    df = df.withColumn(
+        "match_id",
+        F.sum(F.col("is_match_start").cast("int")).over(w_incl).cast("int"),
+    ).drop("_igb")
     return df
 
 
@@ -137,11 +144,10 @@ def sessionize_raw(transcripts: DataFrame) -> DataFrame:
             "match_id": F.sum(F.col("is_match_start").cast("int"))
             .over(w_incl)
             .cast("int"),
-            "in_game": F.coalesce(
-                F.last(F.col("_marker"), ignorenulls=True).over(w_incl)
-                == "InitGame",
-                F.lit(False),
-            ),
+            # projection, not a second windowed last (see sessionize)
+            "in_game": F.when(
+                F.col("_marker").isNotNull(), F.col("_marker") == "InitGame"
+            ).otherwise(F.col("_in_game_before")),
         }
     )
     return df.drop("_marker", "_in_game_before")
